@@ -1,0 +1,35 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+This is the standard JAX fake-backend trick for exercising pjit/shard_map
+without TPU hardware (SURVEY.md §4). Note: the ambient environment's axon TPU
+plugin ignores the JAX_PLATFORMS env var (sitecustomize imports jax first), so
+the platform must be forced through ``jax.config`` after import.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_platforms", os.environ.get("TPUREG_TEST_PLATFORM", "cpu")
+)
+
+# Persistent compilation cache: cuts repeated suite runs down (every test
+# otherwise pays a fresh XLA compile).
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

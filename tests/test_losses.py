@@ -1,0 +1,137 @@
+"""Loss regression tests: numerics locked against reference loss.py formulas.
+
+The torch oracles below re-state the reference's published formulas
+(loss.py:9-94) independently; tolerances are tight so any drift in the jnp
+implementations fails loudly.
+"""
+
+import numpy as np
+import pytest
+
+from tpureg.losses import (
+    Affloss,
+    OFEloss,
+    charbonnier,
+    correlation_loss,
+    photometric_loss,
+    smoothness_loss,
+)
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def _t(x_nhwc):  # NHWC → NCHW torch tensor
+    return torch.from_numpy(np.moveaxis(x_nhwc, -1, 1))
+
+
+def _charb_t(x, a=0.25, eps=1e-9):
+    return torch.pow(torch.pow(x, 2) + eps**2, a)
+
+
+def _photo_t(fixed, warped):
+    h, w = warped.shape[2:]
+    fixed = F.interpolate(fixed, (h, w), mode="bilinear", align_corners=False)
+    return (torch.sum(_charb_t(fixed - warped)) / fixed.size(0)).item()
+
+
+def _smooth_t(flow):
+    b, c, h, w = flow.size()
+    v = torch.cat((flow[:, :, 1:, :], torch.zeros(b, c, 1, w)), dim=-2)
+    hh = torch.cat((flow[:, :, :, 1:], torch.zeros(b, c, h, 1)), dim=-1)
+    s = _charb_t(flow - v) + _charb_t(flow - hh)
+    return (torch.sum(torch.sum(s, dim=1) / 2) / b).item()
+
+
+def _corr_t(fixed, warped):
+    b = warped.size(0)
+    h, w = warped.shape[2:]
+    fixed = F.interpolate(fixed, (h, w), mode="bilinear", align_corners=False)
+    vx = warped - torch.mean(warped)
+    vy = fixed - torch.mean(fixed)
+    corr = (
+        1 / b * torch.sum(vx * vy)
+        / (torch.sqrt(torch.sum(vx**2)) * torch.sqrt(torch.sum(vy**2)))
+    )
+    return (1.0 - corr).item()
+
+
+def test_charbonnier_formula(rng):
+    x = rng.standard_normal((4, 4)).astype(np.float32)
+    got = np.asarray(charbonnier(x))
+    want = (x.astype(np.float64) ** 2 + 1e-18) ** 0.25
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_photometric_matches_torch(rng):
+    fixed = rng.random((3, 32, 32, 1)).astype(np.float32)
+    warped = rng.random((3, 16, 16, 1)).astype(np.float32)
+    got = float(photometric_loss(fixed, warped))
+    want = _photo_t(_t(fixed), _t(warped))
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_smoothness_matches_torch(rng):
+    flow = rng.standard_normal((2, 16, 16, 2)).astype(np.float32)
+    got = float(smoothness_loss(flow))
+    want = _smooth_t(_t(flow))
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_correlation_matches_torch(rng):
+    fixed = rng.random((2, 32, 32, 1)).astype(np.float32)
+    warped = rng.random((2, 32, 32, 1)).astype(np.float32)
+    got = float(correlation_loss(fixed, warped))
+    want = _corr_t(_t(fixed), _t(warped))
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_correlation_constant_input_guard():
+    # all-zero warped → vx exactly 0 → reference guard sets corr := 1 → loss 0
+    fixed = np.random.rand(2, 8, 8, 1).astype(np.float32)
+    warped = np.zeros((2, 8, 8, 1), np.float32)
+    assert float(correlation_loss(fixed, warped)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_ofe_loss_composition(rng):
+    """Total = γ/n Σwᵢpᵢ + ζ/n Σwᵢcᵢ + λ/n Σwᵢsᵢ with wᵢ=0.05(i+1)."""
+    fixed = rng.random((2, 32, 32, 1)).astype(np.float32)
+    flows = [rng.standard_normal((2, s, s, 2)).astype(np.float32) for s in (32, 16)]
+    warpeds = [rng.random((2, s, s, 1)).astype(np.float32) for s in (32, 16)]
+    p, c, s, total = OFEloss(flows, warpeds, fixed)
+    assert float(total) == pytest.approx(float(p) + float(c) + float(s), rel=1e-6)
+
+    n, w = 2, [0.05, 0.10]
+    want_p = 100.0 / n * sum(
+        wi * _photo_t(_t(fixed), _t(wp)) for wi, wp in zip(w, warpeds)
+    )
+    want_s = 0.5 / n * sum(wi * _smooth_t(_t(f)) for wi, f in zip(w, flows))
+    want_c = 100.0 / n * sum(
+        wi * _corr_t(_t(fixed), _t(wp)) for wi, wp in zip(w, warpeds)
+    )
+    assert float(p) == pytest.approx(want_p, rel=1e-4)
+    assert float(s) == pytest.approx(want_s, rel=1e-4)
+    assert float(c) == pytest.approx(want_c, rel=1e-3)
+
+
+def test_ofe_loss_grad_finite(rng):
+    import jax
+    import jax.numpy as jnp
+
+    fixed = jnp.asarray(rng.random((1, 16, 16, 1)).astype(np.float32))
+    flow = jnp.asarray(rng.standard_normal((1, 16, 16, 2)).astype(np.float32))
+    warped = jnp.asarray(rng.random((1, 16, 16, 1)).astype(np.float32))
+
+    def f(fl, wp):
+        return OFEloss([fl], [wp], fixed)[3]
+
+    g1, g2 = jax.grad(f, argnums=(0, 1))(flow, warped)
+    assert np.isfinite(np.asarray(g1)).all() and np.isfinite(np.asarray(g2)).all()
+
+
+def test_affloss_3d(rng):
+    fixed = rng.random((1, 8, 8, 8, 1)).astype(np.float32)
+    warped = rng.random((1, 8, 8, 8, 1)).astype(np.float32)
+    p, c, total = Affloss(warped, fixed)
+    assert float(total) == pytest.approx(float(p) + float(c), rel=1e-6)
+    assert 0.0 <= float(c) <= 2.0

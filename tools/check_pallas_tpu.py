@@ -1,0 +1,77 @@
+"""Validate Pallas kernels against jnp references on the real TPU chip.
+
+Run with the ambient JAX_PLATFORMS (axon/tpu):  python tools/check_pallas_tpu.py
+
+The CPU test suite cannot exercise compiled Pallas (interpret mode is too
+slow), so this script is the hardware golden check — run it whenever a kernel
+changes; CI-equivalent coverage lives in tests/test_correlation.py semantics
+tests plus this.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpureg.ops.correlation import correlation_reference
+from tpureg.ops.correlation_pallas import correlation_pallas
+
+
+def check(name, got, want, atol=1e-4):
+    got, want = np.asarray(got), np.asarray(want)
+    err = np.max(np.abs(got - want))
+    status = "OK " if err <= atol else "FAIL"
+    print(f"[{status}] {name:40s} max|Δ|={err:.3e}")
+    return err <= atol
+
+
+def main():
+    print("backend:", jax.default_backend(), jax.devices())
+    rng = np.random.default_rng(0)
+    ok = True
+
+    configs = [
+        ("flownetc 32x32x256 md20 s2", (2, 32, 32, 256), 20, 2),
+        ("pwc l6 4x4x196 md4 s1", (2, 4, 4, 196), 4, 1),
+        ("pwc l2 64x64x32 md4 s1", (2, 64, 64, 32), 4, 1),
+    ]
+    for name, shape, md, s2 in configs:
+        f1 = rng.standard_normal(shape).astype(np.float32)
+        f2 = rng.standard_normal(shape).astype(np.float32)
+        got = jax.jit(lambda a, b: correlation_pallas(a, b, md, s2))(f1, f2)
+        want = correlation_reference(jnp.asarray(f1), jnp.asarray(f2), md, s2)
+        ok &= check(name, got, want)
+
+        # grad path (pallas fwd + reference vjp)
+        g = jax.grad(lambda a: jnp.sum(correlation_pallas(a, jnp.asarray(f2), md, s2) ** 2))(
+            jnp.asarray(f1)
+        )
+        gref = jax.grad(
+            lambda a: jnp.sum(correlation_reference(a, jnp.asarray(f2), md, s2) ** 2)
+        )(jnp.asarray(f1))
+        ok &= check(name + " (grad)", g, gref, atol=1e-3)
+
+    # micro-benchmark: pallas vs pure-XLA reference
+    f1 = jnp.asarray(rng.standard_normal((8, 32, 32, 256)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((8, 32, 32, 256)).astype(np.float32))
+    pal = jax.jit(lambda a, b: correlation_pallas(a, b, 20, 2))
+    ref = jax.jit(lambda a, b: correlation_reference(a, b, 20, 2))
+    for fn, label in [(pal, "pallas"), (ref, "xla-ref")]:
+        fn(f1, f2).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = fn(f1, f2)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / 20
+        print(f"corr 441ch b8 {label:8s}: {dt*1e3:.3f} ms/call")
+
+    raise SystemExit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

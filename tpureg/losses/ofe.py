@@ -1,0 +1,142 @@
+"""Self-supervised registration losses (numerics locked to reference loss.py).
+
+Multi-scale total = Charbonnier photometric + Pearson/NCC correlation + TV
+smoothness, with the reference's exact constants:
+
+- ``charbonnier(x) = (x² + ε²)^α`` with α=0.25, ε=1e-9 (loss.py:33-35)
+- per-scale weights ``0.05 * (1..n)`` — ascending, so the **coarsest** flow
+  carries the largest weight (loss.py:71; deliberate trained behavior,
+  SURVEY.md §7 quirks)
+- λ=0.5 (smooth), γ=100 (photo), ζ=100 (corr), each scaled by 1/n
+  (loss.py:66,80-82)
+- photometric/correlation losses resize the *fixed* image down to each flow
+  scale with bilinear align_corners=False (loss.py:11,54)
+- smoothness uses forward differences with zero padding at the far edge, so
+  the last row/column penalizes the raw flow magnitude — reference quirk
+  preserved (loss.py:25-27)
+- the correlation loss is a *global* Pearson over the whole batch tensor with
+  a 1/B factor and an all-zero guard returning corr=1 (loss.py:52-64)
+
+Everything is pure jnp on NHWC arrays and jit/grad-safe (the zero guard uses
+the double-where trick so gradients stay finite).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+from ..ops.resize import resize2d
+
+__all__ = [
+    "charbonnier",
+    "photometric_loss",
+    "photometric_loss_3d",
+    "smoothness_loss",
+    "correlation_loss",
+    "correlation_loss_3d",
+    "OFEloss",
+    "Affloss",
+]
+
+
+def charbonnier(x, alpha: float = 0.25, epsilon: float = 1.0e-9):
+    return jnp.power(jnp.square(x) + epsilon**2, alpha)
+
+
+def photometric_loss(fixed, warped):
+    """Charbonnier photometric difference, summed, per batch element.
+
+    ``fixed``: [B, H, W, 1]; ``warped``: [B, h, w, 1] at any flow scale —
+    fixed is resized down to (h, w) (reference loss.py:9-13).
+    """
+    h, w = warped.shape[1], warped.shape[2]
+    fixed = resize2d(fixed, (h, w), "bilinear", align_corners=False)
+    return jnp.sum(charbonnier(fixed - warped)) / fixed.shape[0]
+
+
+def photometric_loss_3d(fixed, warped):
+    """3-D variant — no resize (reference loss.py:16-18)."""
+    return jnp.sum(charbonnier(fixed - warped)) / fixed.shape[0]
+
+
+def smoothness_loss(flow):
+    """TV-style flow smoothness with zero-padded forward differences.
+
+    ``flow``: [B, h, w, 2]. Matches reference loss.py:23-30 including the
+    far-edge zero padding (last row/col compare against 0) and the
+    sum-over-components / 2 normalization.
+    """
+    b = flow.shape[0]
+    zeros_row = jnp.zeros_like(flow[:, :1])
+    zeros_col = jnp.zeros_like(flow[:, :, :1])
+    v_tr = jnp.concatenate([flow[:, 1:], zeros_row], axis=1)
+    h_tr = jnp.concatenate([flow[:, :, 1:], zeros_col], axis=2)
+    s = charbonnier(flow - v_tr) + charbonnier(flow - h_tr)
+    s = jnp.sum(s, axis=-1) / 2.0
+    return jnp.sum(s) / b
+
+
+def _pearson_one_minus(fixed, warped, batch):
+    """1 - global Pearson with the reference's 1/B factor and zero guard."""
+    vx = warped - jnp.mean(warped)
+    vy = fixed - jnp.mean(fixed)
+    sx = jnp.sum(jnp.square(vx))
+    sy = jnp.sum(jnp.square(vy))
+    degenerate = (sx == 0.0) | (sy == 0.0)
+    # double-where keeps grads finite when a branch divides by ~0
+    denom = jnp.where(degenerate, 1.0, jnp.sqrt(sx) * jnp.sqrt(sy))
+    corr = jnp.where(degenerate, 1.0, jnp.sum(vx * vy) / denom / batch)
+    return 1.0 - corr
+
+
+def correlation_loss(fixed, warped):
+    """[B,H,W,1] fixed vs [B,h,w,1] warped (reference loss.py:52-64)."""
+    h, w = warped.shape[1], warped.shape[2]
+    fixed = resize2d(fixed, (h, w), "bilinear", align_corners=False)
+    return _pearson_one_minus(fixed, warped, warped.shape[0])
+
+
+def correlation_loss_3d(fixed, warped):
+    """Volumetric variant, no resize (reference loss.py:38-50)."""
+    return _pearson_one_minus(fixed, warped, warped.shape[0])
+
+
+def OFEloss(
+    flows: Sequence[jnp.ndarray],
+    warpeds: Sequence[jnp.ndarray],
+    fixed: jnp.ndarray,
+    lamb_da: float = 0.5,
+    gamma: float = 100.0,
+    zeta: float = 100.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Multi-scale OFE loss → (photo, corr, smooth, total).
+
+    ``flows[i]``: [B, h_i, w_i, 2] finest-first; ``warpeds[i]``: the moving
+    image warped at that scale; ``fixed``: [B, H, W, 1].
+    Reference loss.py:66-84.
+    """
+    n = len(flows)
+    weights = 0.05 * jnp.arange(1, n + 1, dtype=jnp.float32)
+    p_loss = 0.0
+    c_loss = 0.0
+    s_loss = 0.0
+    for i in range(n):
+        p_loss = p_loss + weights[i] * photometric_loss(fixed, warpeds[i])
+        c_loss = c_loss + weights[i] * correlation_loss(fixed, warpeds[i])
+        s_loss = s_loss + weights[i] * smoothness_loss(flows[i])
+    p_loss = gamma / n * p_loss
+    c_loss = zeta / n * c_loss
+    s_loss = lamb_da / n * s_loss
+    return p_loss, c_loss, s_loss, p_loss + s_loss + c_loss
+
+
+def Affloss(warped, fixed, lamb_da: float = 1.0, gamma: float = 1.0):
+    """3-D affine pre-registration loss → (photo, corr, total).
+
+    Reference loss.py:87-94 (note: λ multiplies the correlation term there).
+    """
+    p_loss = gamma * photometric_loss_3d(fixed, warped)
+    c_loss = lamb_da * correlation_loss_3d(fixed, warped)
+    return p_loss, c_loss, p_loss + c_loss

@@ -1,0 +1,176 @@
+"""Bilinear backward warping (spatial transformer) for dense flow fields.
+
+The reference uses three subtly different grid conventions that all must be
+reproduced (SURVEY.md §7 "hard parts"):
+
+- ``convention='stn'``   — the registration head's STN (reference
+  models.py:256-268): normalized grid ``(flow+xy) * 2/size - 1`` followed by
+  ``grid_sample(align_corners=True)``. Net effect: sample position
+  ``p = (flow + xy) * (size-1)/size`` with zero padding.
+- ``convention='pwc'``   — PWC-Net's in-model warp (reference
+  PWC/models/PWCNet.py:143-179): ``2*(flow+xy)/(size-1) - 1`` followed by
+  ``grid_sample(align_corners=False)`` → ``p = (flow+xy)*size/(size-1) - 0.5``,
+  plus a warped-ones validity mask thresholded at 0.9999.
+- ``convention='pixel'`` — FlowNet2's Resample2d CUDA op (flownet2/models.py:
+  139,151,163,176): direct pixel coordinates ``p = xy + flow``, zero
+  contribution from out-of-bounds taps.
+
+All conventions share one 4-tap gather core. Images are NHWC; flow is
+``[..., 2]`` with last axis ``(u_x, u_y)``.
+
+On TPU the 4-tap gather compiles to XLA gather over a flattened (H*W, C)
+payload; at the reference's shapes (≤256², C≤128 at ≤64²) this is a tiny
+fraction of the conv FLOPs, so no Pallas kernel is needed here (the genuinely
+hot custom op — correlation — does get one; see correlation_pallas.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["warp2d", "warp3d", "base_grid", "sample2d"]
+
+
+def base_grid(h: int, w: int, dtype=jnp.float32):
+    """(h, w, 2) grid of integer pixel coordinates, last axis (x, y).
+
+    Matches reference models.py:195-204 / PWCNet.py:152-157 (xx, yy stacking).
+    """
+    xs = jnp.arange(w, dtype=dtype)
+    ys = jnp.arange(h, dtype=dtype)
+    xx, yy = jnp.meshgrid(xs, ys)  # both (h, w)
+    return jnp.stack([xx, yy], axis=-1)
+
+
+def sample2d(img, px, py):
+    """Bilinear sample of NHWC ``img`` at float pixel positions (px, py).
+
+    ``px``/``py`` are [B, H_out, W_out]. Out-of-bounds taps contribute zero
+    (PyTorch grid_sample ``padding_mode='zeros'`` semantics — each of the four
+    taps is zeroed independently when it falls outside the image).
+    Returns [B, H_out, W_out, C].
+    """
+    b, h, w, c = img.shape
+    compute_dtype = img.dtype if img.dtype == jnp.float64 else jnp.float32
+    px = px.astype(compute_dtype)
+    py = py.astype(compute_dtype)
+
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = px - x0
+    fy = py - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    flat = img.reshape(b, h * w, c).astype(compute_dtype)
+
+    def tap(xi, yi, weight):
+        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        xi_c = jnp.clip(xi, 0, w - 1)
+        yi_c = jnp.clip(yi, 0, h - 1)
+        idx = (yi_c * w + xi_c).reshape(b, -1)  # [B, H_out*W_out]
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        vals = vals.reshape(*xi.shape, c)
+        wgt = (weight * inb.astype(compute_dtype))[..., None]
+        return vals * wgt
+
+    out = (
+        tap(x0i, y0i, (1 - fx) * (1 - fy))
+        + tap(x0i + 1, y0i, fx * (1 - fy))
+        + tap(x0i, y0i + 1, (1 - fx) * fy)
+        + tap(x0i + 1, y0i + 1, fx * fy)
+    )
+    return out.astype(img.dtype)
+
+
+def warp2d(img, flow, convention: str = "stn", return_mask: bool = False):
+    """Backward-warp NHWC ``img`` by flow ``[B, H, W, 2]`` (x, y displacement).
+
+    ``convention`` selects the reference grid convention (module docstring).
+    For 'pwc', the output is multiplied by the thresholded validity mask
+    (PWCNet.py:169-179) unless ``return_mask`` — then (warped, mask) is
+    returned unmultiplied=False semantics kept: output is already masked and
+    the mask is returned additionally.
+    """
+    b, h, w, _ = flow.shape
+    grid = base_grid(h, w, jnp.float32)
+    pos = grid + flow.astype(jnp.float32)
+    px, py = pos[..., 0], pos[..., 1]
+
+    if convention == "stn":
+        # reference models.py:262-266: grid*2/size - 1, grid_sample align_corners=True
+        # → p_src = (flow + xy) * (size-1)/size
+        px = px * ((w - 1) / w)
+        py = py * ((h - 1) / h)
+        out = sample2d(img, px, py)
+        mask = None
+    elif convention == "pwc":
+        # PWCNet.py:164-168: 2*(flow+xy)/(size-1) - 1, grid_sample align_corners=False
+        # → p_src = (flow+xy) * size/(size-1) - 0.5
+        px = px * (w / max(w - 1, 1)) - 0.5
+        py = py * (h / max(h - 1, 1)) - 0.5
+        out = sample2d(img, px, py)
+        ones = jnp.ones_like(img)
+        mask = sample2d(ones, px, py)
+        mask = jnp.where(mask < 0.9999, 0.0, 1.0).astype(img.dtype)
+        out = out * mask
+    elif convention == "pixel":
+        # flownet2 Resample2d: direct pixel displacement, zero OOB taps
+        out = sample2d(img, px, py)
+        mask = None
+    else:
+        raise ValueError(f"unknown warp convention: {convention}")
+
+    if return_mask:
+        return out, mask
+    return out
+
+
+def warp3d(vol, flow, convention: str = "pixel"):
+    """Backward-warp ``[B, D, H, W, C]`` volumes by ``[B, D, H, W, 3]`` flow.
+
+    3-D analogue (supports the volumetric path, reference dataset.py:100-167 +
+    models.py:156-191). Flow last axis is (u_x, u_y, u_z) over (W, H, D).
+    Trilinear, zero out-of-bounds taps.
+    """
+    b, d, h, w, c = vol.shape
+    compute_dtype = jnp.float32
+    zs = jnp.arange(d, dtype=compute_dtype)
+    ys = jnp.arange(h, dtype=compute_dtype)
+    xs = jnp.arange(w, dtype=compute_dtype)
+    zz, yy, xx = jnp.meshgrid(zs, ys, xs, indexing="ij")
+    px = xx[None] + flow[..., 0].astype(compute_dtype)
+    py = yy[None] + flow[..., 1].astype(compute_dtype)
+    pz = zz[None] + flow[..., 2].astype(compute_dtype)
+
+    x0 = jnp.floor(px); y0 = jnp.floor(py); z0 = jnp.floor(pz)
+    fx = px - x0; fy = py - y0; fz = pz - z0
+    x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32); z0i = z0.astype(jnp.int32)
+
+    flat = vol.reshape(b, d * h * w, c).astype(compute_dtype)
+
+    def tap(xi, yi, zi, weight):
+        inb = (
+            (xi >= 0) & (xi <= w - 1)
+            & (yi >= 0) & (yi <= h - 1)
+            & (zi >= 0) & (zi <= d - 1)
+        )
+        xi_c = jnp.clip(xi, 0, w - 1)
+        yi_c = jnp.clip(yi, 0, h - 1)
+        zi_c = jnp.clip(zi, 0, d - 1)
+        idx = ((zi_c * h + yi_c) * w + xi_c).reshape(b, -1)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        vals = vals.reshape(*xi.shape, c)
+        return vals * (weight * inb.astype(compute_dtype))[..., None]
+
+    out = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                wgt = (
+                    (fx if dx else 1 - fx)
+                    * (fy if dy else 1 - fy)
+                    * (fz if dz else 1 - fz)
+                )
+                out = out + tap(x0i + dx, y0i + dy, z0i + dz, wgt)
+    return out.astype(vol.dtype)
