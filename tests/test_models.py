@@ -1,0 +1,120 @@
+"""Model zoo: shape/dtype contracts mirroring the reference __main__ blocks.
+
+Small inputs (64²/128²) keep XLA:CPU compiles tractable; channel widths are
+resolution-independent so the contracts carry to 256².
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpureg.models import (
+    AffineNet3D,
+    FlowNetC,
+    FlowNetFusion,
+    FlowNetS,
+    FlowNetSD,
+    FlowNetSFull,
+    PWCDCNet,
+    RAFT,
+    build_predictor,
+)
+
+KEY = jax.random.key(0)
+
+
+def _run(mod, x, train):
+    variables = mod.init(KEY, x, train=train)
+    kwargs = dict(mutable=["batch_stats"]) if "batch_stats" in variables else {}
+    out = mod.apply(variables, x, train=train, **kwargs)
+    if kwargs:
+        out = out[0]
+    return out, variables
+
+
+def test_flownets_pinard_scales():
+    x = jnp.zeros((2, 64, 64, 2))
+    out, _ = _run(FlowNetS(), x, train=True)
+    assert [o.shape for o in out] == [
+        (2, 64, 64, 2), (2, 16, 16, 2), (2, 8, 8, 2),
+        (2, 4, 4, 2), (2, 2, 2, 2), (2, 1, 1, 2),
+    ]
+    out_eval, _ = _run(FlowNetS(), x, train=False)
+    assert len(out_eval) == 2  # (flow0, flow2)
+
+
+def test_flownets_nvidia_6ch():
+    x = jnp.zeros((1, 64, 64, 6))
+    out, variables = _run(FlowNetS(input_channels=6, style="nvidia"), x, train=True)
+    assert len(out) == 5 and out[0].shape == (1, 16, 16, 2)
+    n = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    # reference count 38,676,504 (flownet2/networks/FlowNetS.py:13) is the
+    # bias variant; BN variant trades conv biases (4800) for BN affine (9600)
+    assert abs(n - 38_676_504) < 10_000
+
+
+def test_flownets_full_res():
+    out, _ = _run(FlowNetSFull(), jnp.zeros((1, 64, 64, 2)), train=True)
+    assert len(out) == 7 and out[0].shape == (1, 64, 64, 2)
+
+
+def test_flownet_sd():
+    out, _ = _run(FlowNetSD(), jnp.zeros((1, 64, 64, 2)), train=True)
+    assert len(out) == 5 and out[0].shape == (1, 16, 16, 2)
+
+
+def test_flownet_fusion_full_res():
+    out, _ = _run(FlowNetFusion(), jnp.zeros((1, 64, 64, 9)), train=True)
+    assert out.shape == (1, 64, 64, 2)
+
+
+def test_flownet_c():
+    x = jnp.zeros((1, 128, 128, 2))
+    out, variables = _run(FlowNetC(), x, train=True)
+    assert len(out) == 5 and out[0].shape == (1, 32, 32, 2)
+    n = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    assert abs(n - 39_175_298) < 10_000  # flownet2/networks/FlowNetC.py:11
+
+
+def test_pwc_seven_flows():
+    out, _ = _run(PWCDCNet(), jnp.zeros((1, 64, 64, 2)), train=False)
+    assert len(out) == 7
+    assert out[0].shape == (1, 64, 64, 2)  # flow0 at full res
+    assert out[2].shape == (1, 16, 16, 2)  # flow2 at 1/4
+
+
+def test_raft_iterative():
+    out, _ = _run(RAFT(iters=3), jnp.zeros((1, 64, 64, 2)), train=False)
+    assert len(out) == 3
+    assert all(o.shape == (1, 64, 64, 2) for o in out)
+
+
+def test_affine3d_identity_at_init():
+    x = jnp.broadcast_to(
+        jnp.arange(16 * 32 * 32, dtype=jnp.float32).reshape(1, 16, 32, 32, 1)
+        / (16 * 32 * 32),
+        (1, 16, 32, 32, 2),
+    )
+    mod = AffineNet3D()
+    variables = mod.init(KEY, x)
+    theta, warped = mod.apply(variables, x)
+    assert theta.shape == (1, 3, 4)
+    # identity-initialized head → warp is a no-op at init
+    np.testing.assert_allclose(
+        np.asarray(warped), np.asarray(x[..., 1:2]), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "name,cls",
+    [("flownets", FlowNetS), ("pwc", PWCDCNet), ("raft", RAFT)],
+)
+def test_registry_dispatch(name, cls):
+    assert isinstance(build_predictor(name), cls)
+
+
+def test_registry_flownet2_is_cascade():
+    from tpureg.models import FlowNet2
+
+    assert isinstance(build_predictor("flownet2"), FlowNet2)

@@ -1,0 +1,91 @@
+"""End-to-end: registration head + OFE loss + Adam step on random data.
+
+The minimum end-to-end slice (SURVEY.md §7 build order #3 / BASELINE.json
+config 1), CPU-runnable, plus the multi-device data-parallel path on the
+virtual 8-device mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpureg.data import random_pair_batch, random_seg_batch
+from tpureg.parallel import batch_sharding, make_mesh, replicated, shard_batch
+from tpureg.reg import OpticalFlowReg
+from tpureg.train import create_train_state, make_eval_step, make_train_step
+
+SIZE = 64
+
+
+def _setup(model_name="flownets", batch=2):
+    key = jax.random.key(0)
+    model = OpticalFlowReg(conv_predictor=model_name)
+    imgs = random_pair_batch(key, batch, SIZE)
+    state = create_train_state(model, key, imgs)
+    return state, imgs
+
+
+def test_train_step_reduces_loss():
+    state, imgs = _setup()
+    train_step = make_train_step(donate=False)
+    state, m0 = train_step(state, imgs)
+    for _ in range(3):
+        state, m = train_step(state, imgs)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"])  # same batch → loss must drop
+    assert int(state.step) == 4
+
+
+def test_eval_step_with_segs():
+    state, imgs = _setup()
+    segs = random_seg_batch(jax.random.key(1), 2, SIZE)
+    eval_step = make_eval_step()
+    (flows, warped_imgs, warped_segs, warped_grid), metrics = eval_step(
+        state, imgs, segs
+    )
+    assert warped_segs.shape == (2, SIZE, SIZE, 1)
+    vals = np.unique(np.asarray(warped_segs))
+    assert vals.min() >= 0 and vals.max() <= 3
+    assert warped_grid.shape == (2, SIZE, SIZE, 1)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_batchnorm_stats_update():
+    state, imgs = _setup()
+    train_step = make_train_step(donate=False)
+    before = jax.tree.map(np.asarray, state.batch_stats)
+    state, _ = train_step(state, imgs)
+    after = state.batch_stats
+    diffs = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        before,
+        after,
+    )
+    assert max(jax.tree.leaves(diffs)) > 0.0
+
+
+def test_data_parallel_8dev_matches_single():
+    """DP on the 8-device mesh computes the same update as single-device."""
+    state, _ = _setup(batch=8)
+    imgs = random_pair_batch(jax.random.key(2), 8, SIZE)
+    train_step = make_train_step(donate=False)
+
+    _, m_single = train_step(state, imgs)
+
+    mesh = make_mesh()  # 8 x 1
+    sharded_imgs = jax.device_put(imgs, batch_sharding(mesh, 4))
+    sharded_state = jax.device_put(state, replicated(mesh))
+    _, m_dp = train_step(sharded_state, sharded_imgs)
+
+    np.testing.assert_allclose(
+        float(m_dp["loss"]), float(m_single["loss"]), rtol=1e-4
+    )
+
+
+def test_shard_batch_util():
+    mesh = make_mesh()
+    batch = {"image_c": np.zeros((8, 16, 16, 2), np.float32)}
+    out = shard_batch(mesh, batch)
+    assert out["image_c"].sharding.spec == jax.sharding.PartitionSpec(
+        "data", None, None, None
+    )

@@ -1,0 +1,74 @@
+"""Flow-estimator model zoo + name registry.
+
+Registry parity with the reference's predictor selection
+(``opticalFlowReg.__init__``, models.py:208-252): substring matching on the
+model name — 'flownet2' → the full cascade, 'pwc' → PWC-DC Net, 'raft' →
+RAFT (iterative refinement), anything else → FlowNetS. Extra explicit names
+expose the cascade sub-variants and the local full-resolution FlowNetS.
+"""
+
+from __future__ import annotations
+
+from .affine3d import AffineNet3D, affine_warp3d
+from .flownet2 import (
+    FlowNet2,
+    FlowNet2C,
+    FlowNet2CS,
+    FlowNet2CSS,
+    FlowNet2S,
+    FlowNet2SD,
+)
+from .flownet_c import FlowNetC
+from .flownet_fusion import FlowNetFusion
+from .flownet_s import FlowNetS, FlowNetSFull
+from .flownet_sd import FlowNetSD
+from .pwcnet import PWCDCNet
+from .raft import RAFT
+
+__all__ = [
+    "AffineNet3D",
+    "affine_warp3d",
+    "FlowNet2",
+    "FlowNet2C",
+    "FlowNet2CS",
+    "FlowNet2CSS",
+    "FlowNet2S",
+    "FlowNet2SD",
+    "FlowNetC",
+    "FlowNetFusion",
+    "FlowNetS",
+    "FlowNetSFull",
+    "FlowNetSD",
+    "PWCDCNet",
+    "RAFT",
+    "build_predictor",
+]
+
+_EXPLICIT = {
+    "flownet2-c": lambda bn: FlowNet2C(use_bn=bn),
+    "flownet2-s": lambda bn: FlowNet2S(use_bn=bn),
+    "flownet2-sd": lambda bn: FlowNet2SD(use_bn=bn),
+    "flownet2-cs": lambda bn: FlowNet2CS(use_bn=bn),
+    "flownet2-css": lambda bn: FlowNet2CSS(use_bn=bn),
+    "flownetc": lambda bn: FlowNetC(use_bn=bn),
+    "flownetsd": lambda bn: FlowNetSD(use_bn=bn),
+    "flownets-full": lambda bn: FlowNetSFull(use_bn=bn),
+}
+
+
+def build_predictor(name: str, use_bn: bool = True):
+    """Build a flow predictor module from a registry name.
+
+    Mirrors the reference's substring dispatch (models.py:212-252) with
+    additional explicit names for the cascade sub-variants.
+    """
+    key = name.lower()
+    if key in _EXPLICIT:
+        return _EXPLICIT[key](use_bn)
+    if "flownet2" in key:
+        return FlowNet2(use_bn=use_bn)
+    if "raft" in key:
+        return RAFT()
+    if "pwc" in key:
+        return PWCDCNet()
+    return FlowNetS(use_bn=use_bn, style="pinard")

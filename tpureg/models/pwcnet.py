@@ -1,0 +1,111 @@
+"""PWC-Net (PWC-DC): pyramid, warping and cost volume with dense decoders.
+
+Reference: PWC/models/PWCNet.py:38-279 (grayscale-adapted, 1-ch stems :50).
+Per level 6→2: warp the moving pyramid feature by the upsampled flow
+(× per-level scale 0.625/1.25/2.5/5.0, :214/:228/:242/:258; 'pwc' warp
+convention incl. validity mask :143-179), correlate (md=4 → 81 ch, :69),
+decode with a DenseNet-connected block, predict flow + upsampled features.
+A dilated context network refines flow2 (:128-134, :269-270); two stride-2
+deconvs produce flow1/flow0 (:272-273). Returns 7 flows finest-first (:276).
+
+No BatchNorm anywhere; kaiming(fan_in) init, zero bias (:136-140).
+TPU-native: correlations run the fused Pallas kernel; the coarse-to-fine
+loop is unrolled at trace time (5 static levels) so XLA sees one program.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.layers import ConvBlock, PredictFlow, TorchConv, TorchConvTranspose
+from ..ops.correlation import correlation
+from ..ops.warp import warp2d
+
+__all__ = ["PWCDCNet"]
+
+_kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+class PWCDCNet(nn.Module):
+    md: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        im1 = x[..., 0:1]
+        im2 = x[..., 1:2]
+
+        def conv(feat, name, k=3, s=1, d=1):
+            return ConvBlock(feat, k, s, dilation=d, use_bn=False,
+                             kernel_init=_kaiming, name=name)
+
+        # --- siamese feature pyramid (levels 1..6)
+        feats = (16, 32, 64, 96, 128, 196)
+        stages = []
+        for lvl, f in enumerate(feats, start=1):
+            stages.append(
+                (conv(f, f"conv{lvl}a", s=2), conv(f, f"conv{lvl}aa"),
+                 conv(f, f"conv{lvl}b"))
+            )
+
+        def pyramid(im):
+            outs = []
+            y = im
+            for (a, aa, bb) in stages:
+                y = bb(aa(a(y, train), train), train)
+                outs.append(y)
+            return outs  # levels 1..6
+
+        p1 = pyramid(im1)
+        p2 = pyramid(im2)
+
+        def corr(a, b):
+            return nn.leaky_relu(correlation(a, b, self.md, 1), 0.1)
+
+        dense_feats = (128, 128, 96, 64, 32)
+
+        def dense_decoder(y, lvl):
+            for i, f in enumerate(dense_feats):
+                y = jnp.concatenate(
+                    [conv(f, f"conv{lvl}_{i}")(y, train), y], axis=-1
+                )
+            flow = PredictFlow(use_bias=True, kernel_init=_kaiming,
+                               name=f"predict_flow{lvl}")(y)
+            return y, flow
+
+        def up2(y, feat, name):
+            return TorchConvTranspose(feat, 4, 2, 1, use_bias=True,
+                                      kernel_init=_kaiming, name=name)(y)
+
+        # --- level 6 (no warp)
+        y, flow6 = dense_decoder(corr(p1[5], p2[5]), 6)
+        up_flow = up2(flow6, 2, "deconv6")
+        up_feat = up2(y, 2, "upfeat6")
+
+        scales = {5: 0.625, 4: 1.25, 3: 2.5, 2: 5.0}
+        flows = {6: flow6}
+        for lvl in (5, 4, 3, 2):
+            c1, c2 = p1[lvl - 1], p2[lvl - 1]
+            warped = warp2d(c2, up_flow * scales[lvl], convention="pwc")
+            y = jnp.concatenate([corr(c1, warped), c1, up_flow, up_feat],
+                                axis=-1)
+            y, flow = dense_decoder(y, lvl)
+            flows[lvl] = flow
+            if lvl > 2:
+                up_flow = up2(flow, 2, f"deconv{lvl}")
+                up_feat = up2(y, 2, f"upfeat{lvl}")
+
+        # --- dilated context network refines flow2 (PWCNet.py:128-134)
+        ctx = y
+        for i, (f, d) in enumerate(
+            [(128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1)], start=1
+        ):
+            ctx = conv(f, f"dc_conv{i}", d=d)(ctx, train)
+        flow2 = flows[2] + PredictFlow(use_bias=True, kernel_init=_kaiming,
+                                       name="dc_conv7")(ctx)
+
+        flow1 = up2(flow2, 2, "deconv2_up")
+        flow0 = up2(flow1, 2, "deconv1_up")
+        return (flow0, flow1, flow2, flows[3], flows[4], flows[5], flows[6])

@@ -1,0 +1,81 @@
+"""jit-able train / eval steps: model forward + OFE loss + Adam update.
+
+One fused XLA program per step (the reference's hot loop, train.py:41-57):
+forward through the registration head, multi-scale loss against the fixed
+channel, grad, Adam update, BatchNorm running-stat update. Under a device
+mesh, batches are sharded over 'data' and params replicated — pjit inserts
+the gradient all-reduce over ICI automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import OFEloss
+
+__all__ = ["make_train_step", "make_eval_step", "loss_from_outputs"]
+
+
+def loss_from_outputs(outputs, imgs, loss_kwargs):
+    flows, warped_imgs, _, _ = outputs
+    fixed = imgs[..., 0:1]
+    return OFEloss(flows, warped_imgs, fixed, **loss_kwargs)
+
+
+def make_train_step(loss_kwargs: Optional[dict] = None, donate: bool = True):
+    loss_kwargs = loss_kwargs or {}
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state, imgs):
+        def loss_fn(params):
+            outputs, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs,
+                None,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            p, c, s, total = loss_from_outputs(outputs, imgs, loss_kwargs)
+            return total, (p, c, s, mutated["batch_stats"])
+
+        (total, (p, c, s, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        metrics = {
+            "loss": total,
+            "photo_loss": p,
+            "corr_loss": c,
+            "smooth_loss": s,
+        }
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(loss_kwargs: Optional[dict] = None):
+    loss_kwargs = loss_kwargs or {}
+
+    @jax.jit
+    def eval_step(state, imgs, segs=None):
+        outputs = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            imgs,
+            segs,
+            train=False,
+        )
+        p, c, s, total = loss_from_outputs(outputs, imgs, loss_kwargs)
+        metrics = {
+            "loss": total,
+            "photo_loss": p,
+            "corr_loss": c,
+            "smooth_loss": s,
+        }
+        return outputs, metrics
+
+    return eval_step
