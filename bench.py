@@ -1,0 +1,91 @@
+"""Benchmark: FlowNet2 registration training throughput on one TPU chip.
+
+Measures MRI pairs/sec/chip for the flagship config — FlowNet2 cascade in the
+registration head, OFE loss, Adam, batch 24, 256² slice pairs — matching the
+reference's training configuration (train.py:114-117: batch 24, lr 1e-4;
+README.md:25-26).
+
+``vs_baseline`` is the speedup over a straightforward (non-TPU-native) JAX
+port of the same model on the same chip: fp32 end-to-end with the pure-XLA
+correlation lowering instead of the fused Pallas kernel. The reference
+publishes no numbers of its own (BASELINE.md), so the measured naive-port
+throughput stands in as the baseline until a PyTorch-GPU measurement exists.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+
+
+def _measure(train_step, state, imgs, iters: int = 10, warmup: int = 2):
+    for _ in range(warmup):
+        state, metrics = train_step(state, imgs)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = train_step(state, imgs)
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, state
+
+
+def main():
+    import tpureg.ops.correlation as corr_mod
+    from tpureg.data import random_pair_batch
+    from tpureg.reg import OpticalFlowReg
+    from tpureg.train import create_train_state, make_train_step
+
+    batch, size = 24, 256
+    key = jax.random.key(0)
+    imgs = random_pair_batch(key, batch, size)
+    model = OpticalFlowReg(conv_predictor="flownet2")
+    state = create_train_state(model, key, imgs)
+
+    train_step = make_train_step(donate=False)
+    dt, state = _measure(train_step, state, imgs)
+    pairs_per_sec = batch / dt
+
+    # naive-port baseline: same graph, pure-XLA correlation lowering
+    orig_backend_check = corr_mod.correlation
+
+    def xla_only_correlation(f1, f2, md, s2=1):
+        return corr_mod.correlation_reference(f1, f2, md, s2)
+
+    corr_mod.correlation = xla_only_correlation
+    # also patch the symbol captured by model modules
+    import tpureg.models.flownet_c as fc
+    import tpureg.models.pwcnet as pw
+
+    fc.correlation = xla_only_correlation
+    pw.correlation = xla_only_correlation
+    try:
+        model_b = OpticalFlowReg(conv_predictor="flownet2")
+        state_b = create_train_state(model_b, key, imgs)
+        step_b = make_train_step(donate=False)
+        dt_b, _ = _measure(step_b, state_b, imgs, iters=5)
+        baseline_pairs_per_sec = batch / dt_b
+    finally:
+        corr_mod.correlation = orig_backend_check
+        fc.correlation = orig_backend_check
+        pw.correlation = orig_backend_check
+
+    print(
+        json.dumps(
+            {
+                "metric": "flownet2_train_pairs_per_sec_per_chip",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,106 @@
+"""Data pipeline: Analyze reader (incl. native path), slicing, datasets."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from tpureg.data import (
+    AnalyzeHeader,
+    VolumeSliceSource,
+    list_pairs,
+    read_analyze,
+    split_volumes,
+    volume2slices_datasets,
+)
+from tpureg.data.pipeline import SLICES_PER_VOLUME
+
+
+def write_analyze(path_base, vol, datatype=4):
+    """Write a minimal little-endian Analyze 7.5 pair (.hdr/.img)."""
+    np_dtype = {2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32}[datatype]
+    hdr = bytearray(348)
+    struct.pack_into("<i", hdr, 0, 348)
+    dims = (len(vol.shape),) + vol.shape + (1,) * (7 - len(vol.shape))
+    struct.pack_into("<8h", hdr, 40, *dims)
+    struct.pack_into("<h", hdr, 70, datatype)
+    struct.pack_into("<h", hdr, 72, np_dtype().itemsize * 8)
+    struct.pack_into("<8f", hdr, 76, 0, 1, 1, 1, 1, 0, 0, 0)
+    with open(path_base + ".hdr", "wb") as f:
+        f.write(hdr)
+    vol.astype(np_dtype).ravel(order="F").tofile(path_base + ".img")
+
+
+@pytest.fixture
+def oasis_dir(tmp_path, rng):
+    """Synthetic OASIS-like directory: 3 volumes + segs, 176×208×176."""
+    img_dir = tmp_path / "img"
+    seg_dir = tmp_path / "seg"
+    img_dir.mkdir()
+    seg_dir.mkdir()
+    for i in range(3):
+        vol = (rng.random((176, 208, 176, 1)) * 1000).astype(np.int16)
+        seg = rng.integers(0, 4, (176, 208, 176, 1)).astype(np.int16)
+        write_analyze(str(img_dir / f"sub{i:02d}_mpr"), vol)
+        write_analyze(str(seg_dir / f"sub{i:02d}_seg"), seg)
+    return str(img_dir), str(seg_dir)
+
+
+def test_header_and_roundtrip(tmp_path, rng):
+    vol = (rng.random((16, 20, 12)) * 255).astype(np.float32)
+    write_analyze(str(tmp_path / "t"), vol, datatype=16)
+    hdr = AnalyzeHeader(str(tmp_path / "t.hdr"))
+    assert hdr.shape == (16, 20, 12)
+    got = read_analyze(str(tmp_path / "t.img"), use_native=False)
+    np.testing.assert_allclose(got, vol, atol=0)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(
+        os.path.join(os.path.dirname(__file__), "..", "native", "libanalyze.so")
+    ),
+    reason="native decoder not built (make -C native)",
+)
+@pytest.mark.parametrize("datatype", [2, 4, 8, 16])
+def test_native_matches_numpy(tmp_path, rng, datatype):
+    vol = (rng.random((8, 10, 6)) * 120).astype(np.float32)
+    write_analyze(str(tmp_path / "t"), vol, datatype=datatype)
+    a = read_analyze(str(tmp_path / "t.img"), use_native=False)
+    b = read_analyze(str(tmp_path / "t.img"), use_native=True)
+    np.testing.assert_allclose(a, b, atol=0)
+
+
+def test_split_reproducible():
+    items = list(range(10))
+    t1 = split_volumes(items, seed=6)
+    t2 = split_volumes(items, seed=6)
+    assert t1 == t2
+    assert len(t1[0]) == 8 and len(t1[1]) == 1 and len(t1[2]) == 1
+    assert sorted(t1[0] + t1[1] + t1[2]) == items
+
+
+def test_slice_source_shapes(oasis_dir):
+    img_dir, seg_dir = oasis_dir
+    src = VolumeSliceSource(list_pairs(img_dir, seg_dir))
+    assert len(src) == 3 * SLICES_PER_VOLUME
+    img, seg = src.slice_at(0)
+    assert img.shape == (176, 208) and seg.shape == (176, 208)
+
+
+def test_volume2slices_batches(oasis_dir):
+    img_dir, seg_dir = oasis_dir
+    train, val, test, train_len, val_len = volume2slices_datasets(
+        img_dir, seg_dir, batch_size=4, limit=3
+    )
+    # int(0.1*3)=0 test/val volumes → all 3 land in train (reference floor math)
+    assert train_len == 3 * SLICES_PER_VOLUME
+    batch = next(iter(train))
+    assert batch["image_c"].shape == (4, 256, 256, 2)
+    assert batch["seg_c"].shape == (4, 256, 256, 2)
+    x = np.asarray(batch["image_c"])
+    assert 0.0 <= x.min() and x.max() <= 1.0 and x.max() > 0.5  # scaled
+    segs = np.unique(np.asarray(batch["seg_c"]))
+    assert set(segs.tolist()) <= {0.0, 1.0, 2.0, 3.0}
+    # fixed channel differs from synthesized moving channel
+    assert np.abs(x[..., 0] - x[..., 1]).max() > 1e-3

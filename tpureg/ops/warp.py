@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["warp2d", "warp3d", "base_grid", "sample2d"]
+__all__ = ["warp2d", "warp3d", "base_grid", "sample2d", "sample2d_nearest"]
 
 
 def base_grid(h: int, w: int, dtype=jnp.float32):
@@ -81,6 +81,23 @@ def sample2d(img, px, py):
         + tap(x0i + 1, y0i + 1, fx * fy)
     )
     return out.astype(img.dtype)
+
+
+def sample2d_nearest(img, px, py):
+    """Nearest-neighbor sample of NHWC ``img`` at float pixel positions.
+
+    Out-of-bounds positions yield zero. Used for label-map (segmentation)
+    warping in the data pipeline (MONAI ``mode='nearest'`` equivalent,
+    reference dataset.py:79).
+    """
+    b, h, w, c = img.shape
+    xi = jnp.rint(px).astype(jnp.int32)
+    yi = jnp.rint(py).astype(jnp.int32)
+    inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+    idx = (jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)).reshape(b, -1)
+    flat = img.reshape(b, h * w, c)
+    vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    return vals.reshape(*xi.shape, c) * inb[..., None].astype(img.dtype)
 
 
 def warp2d(img, flow, convention: str = "stn", return_mask: bool = False):
