@@ -23,32 +23,38 @@ import time
 import jax
 
 
-def _measure(train_step, state, imgs, iters: int = 10, warmup: int = 2):
+def _measure(train_step, state, batches, iters: int = 30, warmup: int = 8):
+    """ms/step over ``iters`` steps with distinct inputs, fully blocked."""
     for _ in range(warmup):
-        state, metrics = train_step(state, imgs)
-    jax.block_until_ready(metrics)
+        state, metrics = train_step(state, batches[0])
+    jax.block_until_ready((state, metrics))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = train_step(state, imgs)
-    jax.block_until_ready(metrics)
+    for i in range(iters):
+        state, metrics = train_step(state, batches[i % len(batches)])
+    jax.block_until_ready((state, metrics))
     dt = (time.perf_counter() - t0) / iters
     return dt, state
 
 
 def main():
-    import tpureg.ops.correlation as corr_mod
+    import importlib
+
+    corr_mod = importlib.import_module("tpureg.ops.correlation")
     from tpureg.data import random_pair_batch
     from tpureg.reg import OpticalFlowReg
     from tpureg.train import create_train_state, make_train_step
 
     batch, size = 24, 256
     key = jax.random.key(0)
-    imgs = random_pair_batch(key, batch, size)
+    batches = [
+        random_pair_batch(jax.random.key(i), batch, size) for i in range(8)
+    ]
+    imgs = batches[0]
     model = OpticalFlowReg(conv_predictor="flownet2")
     state = create_train_state(model, key, imgs)
 
     train_step = make_train_step(donate=False)
-    dt, state = _measure(train_step, state, imgs)
+    dt, state = _measure(train_step, state, batches)
     pairs_per_sec = batch / dt
 
     # naive-port baseline: same graph, pure-XLA correlation lowering
@@ -68,7 +74,7 @@ def main():
         model_b = OpticalFlowReg(conv_predictor="flownet2")
         state_b = create_train_state(model_b, key, imgs)
         step_b = make_train_step(donate=False)
-        dt_b, _ = _measure(step_b, state_b, imgs, iters=5)
+        dt_b, _ = _measure(step_b, state_b, batches, iters=20)
         baseline_pairs_per_sec = batch / dt_b
     finally:
         corr_mod.correlation = orig_backend_check

@@ -17,7 +17,7 @@ from typing import Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.layers import ConvBlock, PredictFlow, bias_uniform01, init_xavier_uniform
+from ..nn.layers import ConvBlock, bias_uniform01, init_xavier_uniform, predict_flow
 from ..ops.correlation import correlation
 from .flownet_s import refine_level
 
@@ -64,8 +64,8 @@ class FlowNetC(nn.Module):
         c6 = block(1024, 3, 2, "conv6")(c5, train)
         c6 = block(1024, 3, 1, "conv6_1")(c6, train)
 
-        flow6 = PredictFlow(use_bias=True, kernel_init=k_init, bias_init=b_init,
-                            name="predict_flow6")(c6)
+        flow6 = predict_flow(use_bias=True, kernel_init=k_init, bias_init=b_init,
+                             name="predict_flow6")(c6)
         # biased upsample-flow deconvs (flownet2/networks/FlowNetC.py:53-56)
         cat5, flow5 = refine_level(5, c6, c5, flow6, 512, k_init, b_init,
                                    True, True)

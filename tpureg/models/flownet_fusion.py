@@ -15,10 +15,10 @@ from ..nn.layers import (
     ConvBlock,
     Deconv,
     IConvBlock,
-    PredictFlow,
     TorchConvTranspose,
     bias_uniform01,
     init_xavier_uniform,
+    predict_flow,
 )
 
 __all__ = ["FlowNetFusion"]
@@ -43,7 +43,7 @@ class FlowNetFusion(nn.Module):
         c2 = block(128, 3, 2, "conv2")(c1, train)
         c2 = block(128, 3, 1, "conv2_1")(c2, train)
 
-        flow2 = PredictFlow(use_bias=True, kernel_init=k_init, bias_init=b_init,
+        flow2 = predict_flow(use_bias=True, kernel_init=k_init, bias_init=b_init,
                             name="predict_flow2")(c2)
         flow2_up = TorchConvTranspose(2, 4, 2, 1, use_bias=True,
                                       kernel_init=k_init, bias_init=b_init,
@@ -53,7 +53,7 @@ class FlowNetFusion(nn.Module):
         cat1 = jnp.concatenate([c1, d1, flow2_up], axis=-1)  # 162 ch
         i1 = IConvBlock(32, use_bn=self.use_bn, kernel_init=k_init,
                         bias_init=b_init, name="inter_conv1")(cat1, train)
-        flow1 = PredictFlow(use_bias=True, kernel_init=k_init, bias_init=b_init,
+        flow1 = predict_flow(use_bias=True, kernel_init=k_init, bias_init=b_init,
                             name="predict_flow1")(i1)
         flow1_up = TorchConvTranspose(2, 4, 2, 1, use_bias=True,
                                       kernel_init=k_init, bias_init=b_init,
@@ -63,5 +63,5 @@ class FlowNetFusion(nn.Module):
         cat0 = jnp.concatenate([c0, d0, flow1_up], axis=-1)  # 82 ch
         i0 = IConvBlock(16, use_bn=self.use_bn, kernel_init=k_init,
                         bias_init=b_init, name="inter_conv0")(cat0, train)
-        return PredictFlow(use_bias=True, kernel_init=k_init, bias_init=b_init,
+        return predict_flow(use_bias=True, kernel_init=k_init, bias_init=b_init,
                            name="predict_flow0")(i0)

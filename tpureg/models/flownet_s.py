@@ -28,11 +28,11 @@ from flax import linen as nn
 from ..nn.layers import (
     ConvBlock,
     Deconv,
-    PredictFlow,
     TorchConvTranspose,
     bias_uniform01,
     init_kaiming_leaky,
     init_xavier_uniform,
+    predict_flow,
 )
 from ..ops.resize import resize2d
 
@@ -96,7 +96,7 @@ def refine_level(
         name=f"deconv{level}",
     )(concat_prev)
     concat = jnp.concatenate([skip, feat_up, flow_up], axis=-1)
-    flow = PredictFlow(
+    flow = predict_flow(
         use_bias=biased, kernel_init=k_init, bias_init=b_init,
         name=f"predict_flow{level}",
     )(concat)
@@ -121,7 +121,7 @@ class FlowNetS(nn.Module):
             x, train, self.use_bn, k_init, b_init
         )
 
-        flow6 = PredictFlow(
+        flow6 = predict_flow(
             use_bias=biased, kernel_init=k_init, bias_init=b_init,
             name="predict_flow6",
         )(c6)
@@ -170,8 +170,8 @@ class FlowNetSFull(nn.Module):
             x, train, self.use_bn, k_init, b_init
         )
 
-        flow6 = PredictFlow(use_bias=biased, kernel_init=k_init,
-                            name="predict_flow6")(c6)
+        flow6 = predict_flow(use_bias=biased, kernel_init=k_init,
+                             name="predict_flow6")(c6)
         cat5, flow5 = refine_level(5, c6, c5, flow6, 512, k_init, b_init,
                                    biased, False)
         cat4, flow4 = refine_level(4, cat5, c4, flow5, 256, k_init, b_init,

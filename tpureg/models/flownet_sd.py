@@ -17,10 +17,10 @@ from ..nn.layers import (
     ConvBlock,
     Deconv,
     IConvBlock,
-    PredictFlow,
     TorchConvTranspose,
     bias_uniform01,
     init_xavier_uniform,
+    predict_flow,
 )
 
 __all__ = ["FlowNetSD"]
@@ -68,8 +68,8 @@ class FlowNetSD(nn.Module):
                               bias_init=b_init, name=name)(y, train)
 
         def predict(y, name):
-            return PredictFlow(use_bias=True, kernel_init=k_init,
-                               bias_init=b_init, name=name)(y)
+            return predict_flow(use_bias=True, kernel_init=k_init,
+                                bias_init=b_init, name=name)(y)
 
         flow6 = predict(c6, "predict_flow6")
         cat5 = jnp.concatenate([c5, deconv(512, c6, "deconv5"),

@@ -20,7 +20,7 @@ from typing import Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.layers import ConvBlock, PredictFlow, TorchConv, TorchConvTranspose
+from ..nn.layers import ConvBlock, TorchConvTranspose, predict_flow
 from ..ops.correlation import correlation
 from ..ops.warp import warp2d
 
@@ -71,7 +71,7 @@ class PWCDCNet(nn.Module):
                 y = jnp.concatenate(
                     [conv(f, f"conv{lvl}_{i}")(y, train), y], axis=-1
                 )
-            flow = PredictFlow(use_bias=True, kernel_init=_kaiming,
+            flow = predict_flow(use_bias=True, kernel_init=_kaiming,
                                name=f"predict_flow{lvl}")(y)
             return y, flow
 
@@ -103,9 +103,9 @@ class PWCDCNet(nn.Module):
             [(128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1)], start=1
         ):
             ctx = conv(f, f"dc_conv{i}", d=d)(ctx, train)
-        flow2 = flows[2] + PredictFlow(use_bias=True, kernel_init=_kaiming,
+        flow2 = flows[2] + predict_flow(use_bias=True, kernel_init=_kaiming,
                                        name="dc_conv7")(ctx)
 
-        flow1 = up2(flow2, 2, "deconv2_up")
-        flow0 = up2(flow1, 2, "deconv1_up")
+        flow1 = up2(flow2, 2, "deconv2")
+        flow0 = up2(flow1, 2, "deconv1")
         return (flow0, flow1, flow2, flows[3], flows[4], flows[5], flows[6])

@@ -2,22 +2,22 @@ from .layers import (
     ConvBlock,
     Deconv,
     IConvBlock,
-    PredictFlow,
-    TorchConv,
     TorchConvTranspose,
+    bias_uniform01,
     init_kaiming_leaky,
     init_xavier_uniform,
-    bias_uniform01,
+    predict_flow,
+    torch_conv,
 )
 
 __all__ = [
     "ConvBlock",
     "Deconv",
     "IConvBlock",
-    "PredictFlow",
-    "TorchConv",
     "TorchConvTranspose",
+    "bias_uniform01",
     "init_kaiming_leaky",
     "init_xavier_uniform",
-    "bias_uniform01",
+    "predict_flow",
+    "torch_conv",
 ]

@@ -20,23 +20,29 @@ the MXU.
 
 BatchNorm: torch defaults (eps=1e-5, momentum 0.1) → flax momentum 0.9.
 All modules are NHWC and take a ``train`` flag threaded to BN.
+
+Parameter-tree naming (consumed by compat/torch_import.py):
+``<block>/conv/kernel`` + ``<block>/bn/{scale,bias}`` for conv blocks,
+``<name>/kernel`` for bare convs created via ``torch_conv``/``predict_flow``,
+``<name>/kernel`` for TorchConvTranspose, ``<deconv>/convt/kernel`` inside
+Deconv.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple, Union
+from typing import Callable, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = [
-    "TorchConv",
+    "torch_conv",
+    "predict_flow",
     "TorchConvTranspose",
     "ConvBlock",
     "IConvBlock",
     "Deconv",
-    "PredictFlow",
     "init_kaiming_leaky",
     "init_xavier_uniform",
     "bias_uniform01",
@@ -62,39 +68,49 @@ def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
-class TorchConv(nn.Module):
-    """2-D conv with torch geometry: pad=(k-1)//2 (or explicit), NHWC/HWIO."""
+def torch_conv(
+    features: int,
+    kernel_size: Union[int, Tuple[int, int]] = 3,
+    stride: Union[int, Tuple[int, int]] = 1,
+    padding: Optional[int] = None,
+    dilation: Union[int, Tuple[int, int]] = 1,
+    use_bias: bool = True,
+    kernel_init: Callable = init_kaiming_leaky(0.1),
+    bias_init: Callable = nn.initializers.zeros_init(),
+    dtype=None,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """nn.Conv configured with torch geometry: explicit pad=(k-1)//2·dilation."""
+    k = _pair(kernel_size)
+    d = _pair(dilation)
+    if padding is None:
+        p = ((k[0] - 1) // 2 * d[0], (k[1] - 1) // 2 * d[1])
+    else:
+        p = _pair(padding)
+    return nn.Conv(
+        features=features,
+        kernel_size=k,
+        strides=_pair(stride),
+        padding=((p[0], p[0]), (p[1], p[1])),
+        kernel_dilation=d,
+        use_bias=use_bias,
+        kernel_init=kernel_init,
+        bias_init=bias_init,
+        dtype=dtype,
+        name=name,
+    )
 
-    features: int
-    kernel_size: Union[int, Tuple[int, int]] = 3
-    stride: Union[int, Tuple[int, int]] = 1
-    padding: Optional[int] = None  # default (k-1)//2
-    dilation: Union[int, Tuple[int, int]] = 1
-    use_bias: bool = True
-    kernel_init: Callable = init_kaiming_leaky(0.1)
-    bias_init: Callable = nn.initializers.zeros_init()
-    dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
-    def __call__(self, x):
-        k = _pair(self.kernel_size)
-        d = _pair(self.dilation)
-        if self.padding is None:
-            p = ((k[0] - 1) // 2 * d[0], (k[1] - 1) // 2 * d[1])
-        else:
-            p = _pair(self.padding)
-        return nn.Conv(
-            features=self.features,
-            kernel_size=k,
-            strides=_pair(self.stride),
-            padding=(p, p) if isinstance(p[0], int) else p,
-            kernel_dilation=d,
-            use_bias=self.use_bias,
-            kernel_init=self.kernel_init,
-            bias_init=self.bias_init,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+def predict_flow(
+    use_bias: bool = False,
+    kernel_init: Callable = init_kaiming_leaky(0.1),
+    bias_init: Callable = nn.initializers.zeros_init(),
+    dtype=None,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """3×3 conv → 2 flow channels (bias per package convention)."""
+    return torch_conv(2, 3, 1, use_bias=use_bias, kernel_init=kernel_init,
+                      bias_init=bias_init, dtype=dtype, name=name)
 
 
 class TorchConvTranspose(nn.Module):
@@ -138,18 +154,15 @@ class TorchConvTranspose(nn.Module):
         return y
 
 
-class _BN(nn.Module):
+def _batch_norm(train: bool) -> nn.BatchNorm:
     """torch-default BatchNorm over NHW (per-channel)."""
-
-    @nn.compact
-    def __call__(self, x, train: bool):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            name="bn",
-        )(x)
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=jnp.float32,
+        name="bn",
+    )
 
 
 class ConvBlock(nn.Module):
@@ -167,7 +180,7 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = TorchConv(
+        y = torch_conv(
             self.features,
             self.kernel_size,
             self.stride,
@@ -177,9 +190,10 @@ class ConvBlock(nn.Module):
             kernel_init=self.kernel_init,
             bias_init=self.bias_init,
             dtype=self.dtype,
+            name="conv",
         )(x)
         if self.use_bn:
-            y = _BN()(y, train)
+            y = _batch_norm(train)(y)
         return nn.leaky_relu(y, 0.1)
 
 
@@ -199,7 +213,7 @@ class IConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = TorchConv(
+        y = torch_conv(
             self.features,
             self.kernel_size,
             self.stride,
@@ -207,9 +221,10 @@ class IConvBlock(nn.Module):
             kernel_init=self.kernel_init,
             bias_init=self.bias_init,
             dtype=self.dtype,
+            name="conv",
         )(x)
         if self.use_bn:
-            y = _BN()(y, train)
+            y = _batch_norm(train)(y)
         return y
 
 
@@ -230,26 +245,6 @@ class Deconv(nn.Module):
             kernel_init=self.kernel_init,
             bias_init=self.bias_init,
             dtype=self.dtype,
+            name="convt",
         )(x)
         return nn.leaky_relu(y, 0.1)
-
-
-class PredictFlow(nn.Module):
-    """3×3 conv → 2 flow channels (bias per package convention)."""
-
-    use_bias: bool = False
-    kernel_init: Callable = init_kaiming_leaky(0.1)
-    bias_init: Callable = nn.initializers.zeros_init()
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, x):
-        return TorchConv(
-            2,
-            3,
-            1,
-            use_bias=self.use_bias,
-            kernel_init=self.kernel_init,
-            bias_init=self.bias_init,
-            dtype=self.dtype,
-        )(x)

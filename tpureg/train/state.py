@@ -32,7 +32,13 @@ def create_train_state(
     b2: float = 0.999,
     sample_segs=None,
 ) -> RegTrainState:
-    variables = model.init(rng, sample_batch, sample_segs, train=True)
+    # jit the init: eager init dispatches every layer op separately, which is
+    # pathologically slow through a remote-device tunnel (200s vs 2s for
+    # FlowNetS on axon)
+    init_fn = jax.jit(
+        lambda rng, imgs, segs: model.init(rng, imgs, segs, train=True)
+    )
+    variables = init_fn(rng, sample_batch, sample_segs)
     tx = optax.adam(learning_rate, b1=b1, b2=b2, eps=adam_eps)
     return RegTrainState.create(
         apply_fn=model.apply,
