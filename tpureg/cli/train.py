@@ -1,0 +1,222 @@
+"""Training CLI — argparse-compatible with the reference's train.py.
+
+Flags (reference train.py:107-120): --img_dir --seg_dir --model --epochs
+--batch_size --lrIni --lrMin --cp, extended with --synthetic (random-data
+smoke mode for machines without OASIS), --pretrained/--surgery (checkpoint
+import with channel surgery, train.py:158-171), --shuffle, --logdir,
+--workdir, --lr_step/--lr_gamma (StepLR intent, train.py:131-133 — the
+reference never steps it, so decay defaults off).
+
+Per epoch: TRAIN pass (loss meters printed every PRINT_INTERVAL batches,
+train.py:75-84), training_state checkpoint (train.py:183-188), VAL pass +
+best-weight save on improvement (train.py:191-201), TEST pass, TensorBoard
+scalar groups for loss/photo/corr/smooth across the three splits
+(train.py:209-212).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..data import prefetch_to_device, random_pair_batch, volume2slices_datasets
+from ..reg import OpticalFlowReg
+from ..train import create_train_state, make_eval_step, make_train_step
+from ..train.checkpoint import (
+    restore_training_state,
+    save_best_weights,
+    save_training_state,
+)
+from ..utils import AverageMeter, seed_everything
+from ..utils.tb import MetricWriter
+
+PRINT_INTERVAL = 2
+
+
+def run_epoch(step_fn, state, loader, mode: str, n_batches_hint=None,
+              train: bool = True):
+    """One pass over ``loader``; returns (state, avg metric dict)."""
+    meters = {k: AverageMeter() for k in
+              ("loss", "photo_loss", "corr_loss", "smooth_loss")}
+    timer = AverageMeter()
+    tic = time.time()
+    for i, batch in enumerate(loader):
+        imgs = batch["image_c"]
+        if train:
+            state, metrics = step_fn(state, imgs)
+        else:
+            _, metrics = step_fn(state, imgs, None)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        timer.update(time.time() - tic)
+        tic = time.time()
+        for k, m in meters.items():
+            m.update(metrics[k])
+        if i % PRINT_INTERVAL == 0:
+            total = f"/{n_batches_hint}" if n_batches_hint else ""
+            print(
+                f"[{mode} batch {i + 1:03d}{total}] "
+                f"time {timer.val:.3f}s ({timer.avg:.3f}s)  "
+                f"loss {meters['loss'].val:.4f} ({meters['loss'].avg:.4f})  "
+                f"smooth {meters['smooth_loss'].val:.4f}  "
+                f"corr {meters['corr_loss'].val:.4f}  "
+                f"photo {meters['photo_loss'].val:.4f}",
+                flush=True,
+            )
+    print(
+        f"===> {mode} done in {timer.sum:.0f}s | avg loss "
+        f"{meters['loss'].avg:.4f} smooth {meters['smooth_loss'].avg:.4f} "
+        f"corr {meters['corr_loss'].avg:.4f} photo "
+        f"{meters['photo_loss'].avg:.4f}\n",
+        flush=True,
+    )
+    return state, {k: m.avg for k, m in meters.items()}
+
+
+def synthetic_loader(key, n_batches: int, batch_size: int, size: int):
+    for i in range(n_batches):
+        key, k = jax.random.split(key)
+        yield {"image_c": random_pair_batch(k, batch_size, size)}
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="tpureg self-supervised training")
+    p.add_argument("--img_dir", default="OASIS1/masked", metavar="DIR_Img")
+    p.add_argument("--seg_dir", default="OASIS1/seg", metavar="DIR_Seg")
+    p.add_argument("--model", default="flownet2",
+                   help="flownets | flownet2 | pwc | raft (+ registry names)")
+    p.add_argument("--epochs", default=4, type=int)
+    p.add_argument("--batch_size", default=24, type=int)
+    p.add_argument("--lrIni", default=1e-4, type=float)
+    p.add_argument("--lrMin", default=1e-4, type=float,
+                   help="adam eps (reference quirk: eps := lrMin)")
+    p.add_argument("--cp", default=True, type=lambda s: s not in ("0", "False"),
+                   help="resume from training_state checkpoint when present")
+    p.add_argument("--synthetic", default=0, type=int, metavar="N",
+                   help="train on N random batches/epoch instead of OASIS")
+    p.add_argument("--image_size", default=256, type=int)
+    p.add_argument("--shuffle", action="store_true")
+    p.add_argument("--pretrained", default=None,
+                   help="torch checkpoint to import (strict=False)")
+    p.add_argument("--surgery", default=None, choices=(None, "rgb", "rgb_pair"),
+                   help="input-channel surgery applied to the stem conv")
+    p.add_argument("--workdir", default=".")
+    p.add_argument("--logdir", default="./log")
+    p.add_argument("--seed", default=6, type=int)
+    p.add_argument("--limit_volumes", default=10, type=int)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    seed_everything(args.seed)
+
+    model = OpticalFlowReg(conv_predictor=args.model)
+    key = jax.random.key(args.seed)
+    sample = random_pair_batch(key, args.batch_size, args.image_size)
+    state = create_train_state(
+        model, key, sample, learning_rate=args.lrIni, adam_eps=args.lrMin
+    )
+    # checkpoint paths are keyed by predictor class name (train.py:127)
+    from ..models import build_predictor
+
+    predictor_name = type(build_predictor(args.model)).__name__
+
+    starting_epoch, best_loss = 0, float(1e5)
+    if args.cp:
+        restored = restore_training_state(args.workdir, predictor_name, state)
+        if restored is not None:
+            print("----------loading checkpoint state----------", flush=True)
+            state, starting_epoch, best_loss = restored
+
+    if args.pretrained:
+        from ..compat import import_torch_state_dict, load_torch_checkpoint
+
+        sd = load_torch_checkpoint(args.pretrained)
+        surgery = {}
+        if args.surgery:
+            # stem conv of each package: conv1.0 / conv1a.0 (+ cascade prefix)
+            for k in sd:
+                if k.endswith(("conv1.0.weight", "conv1a.0.weight")):
+                    surgery[k] = args.surgery
+        params, stats, report = import_torch_state_dict(
+            sd, jax.tree.map(np.asarray, state.params),
+            jax.tree.map(np.asarray, state.batch_stats),
+            surgery=surgery, prefix=("predictor",),
+        )
+        print(
+            f"imported {len(report['loaded'])} tensors "
+            f"({len(report['missing'])} unmatched, "
+            f"{len(report['shape_mismatch'])} shape-mismatched)",
+            flush=True,
+        )
+        state = state.replace(params=params, batch_stats=stats)
+
+    train_step = make_train_step()
+    eval_step = make_eval_step()
+
+    def make_loaders(epoch_idx):
+        if args.synthetic:
+            k = jax.random.fold_in(jax.random.key(args.seed), epoch_idx)
+            n_val = max(1, args.synthetic // 8)
+            return (
+                synthetic_loader(jax.random.fold_in(k, 0), args.synthetic,
+                                 args.batch_size, args.image_size),
+                synthetic_loader(jax.random.fold_in(k, 1), n_val,
+                                 args.batch_size, args.image_size),
+                synthetic_loader(jax.random.fold_in(k, 2), n_val,
+                                 args.batch_size, args.image_size),
+                args.synthetic * args.batch_size,
+                n_val * args.batch_size,
+            )
+        train_ds, val_ds, test_ds, train_len, val_len = volume2slices_datasets(
+            args.img_dir, args.seg_dir, args.batch_size, seed=args.seed,
+            limit=args.limit_volumes, shuffle_train=args.shuffle,
+        )
+        return (prefetch_to_device(iter(train_ds)),
+                prefetch_to_device(iter(val_ds)),
+                prefetch_to_device(iter(test_ds)), train_len, val_len)
+
+    writer = MetricWriter(args.logdir, flush_secs=30)
+    for e in range(starting_epoch, args.epochs):
+        print(f"=================\n EPOCH {e + 1}/{args.epochs}\n"
+              f"=================", flush=True)
+        train_loader, val_loader, test_loader, train_len, _ = make_loaders(e)
+        writer.add_scalar("lr", args.lrIni, e + 1)
+
+        state, train_m = run_epoch(
+            train_step, state, train_loader, "TRAIN",
+            train_len // args.batch_size,
+        )
+        save_training_state(args.workdir, predictor_name, state, e, best_loss)
+
+        state, val_m = run_epoch(eval_step, state, val_loader, "VAL",
+                                 train=False)
+        if val_m["loss"] < best_loss:
+            print("---------saving new best weights----------", flush=True)
+            best_loss = val_m["loss"]
+            save_best_weights(
+                args.workdir, predictor_name, state,
+                {"loss_val": val_m["loss"], **{f"{k}_val": v
+                                               for k, v in val_m.items()}},
+            )
+
+        state, test_m = run_epoch(eval_step, state, test_loader, "TEST",
+                                  train=False)
+
+        for tag, key_ in (("loss", "loss"), ("photo_loss", "photo_loss"),
+                          ("corr_loss", "corr_loss"),
+                          ("smooth_loss", "smooth_loss")):
+            writer.add_scalars(tag, {"train": train_m[key_],
+                                     "val": val_m[key_],
+                                     "test": test_m[key_]}, e + 1)
+    writer.close()
+    print("---------Train complete---------", flush=True)
+    return state
+
+
+if __name__ == "__main__":
+    main()
