@@ -135,6 +135,9 @@ def build_argparser():
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     seed_everything(args.seed)
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from ..data import random_pair_batch
     from ..models import build_predictor

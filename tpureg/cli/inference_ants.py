@@ -82,6 +82,9 @@ def build_argparser():
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     seed_everything(args.seed)
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     iters = tuple(int(x) for x in args.reg_iterations.split(","))
 
     backend = args.backend

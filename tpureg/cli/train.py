@@ -113,6 +113,9 @@ def build_argparser():
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     seed_everything(args.seed)
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     model = OpticalFlowReg(conv_predictor=args.model)
     key = jax.random.key(args.seed)

@@ -17,7 +17,12 @@ import jax.numpy as jnp
 
 from ..losses import OFEloss
 
-__all__ = ["make_train_step", "make_eval_step", "loss_from_outputs"]
+__all__ = [
+    "make_train_step",
+    "make_eval_step",
+    "make_affine_train_step",
+    "loss_from_outputs",
+]
 
 
 def loss_from_outputs(outputs, imgs, loss_kwargs):
@@ -54,6 +59,35 @@ def make_train_step(loss_kwargs: Optional[dict] = None, donate: bool = True):
             "smooth_loss": s,
         }
         return state, metrics
+
+    return train_step
+
+
+def make_affine_train_step(loss_kwargs: Optional[dict] = None,
+                           donate: bool = True):
+    """3-D affine pre-registration step: AffineNet3D + Affloss.
+
+    The volumetric stage (reference affmodel models.py:156-191 + Affloss
+    loss.py:87-94 + volume_ds). ``vols``: [B, D, H, W, 2] fixed/moving.
+    """
+    from ..losses import Affloss
+
+    loss_kwargs = loss_kwargs or {}
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state, vols):
+        fixed = vols[..., 0:1]
+
+        def loss_fn(params):
+            theta, warped = state.apply_fn({"params": params}, vols)
+            p, c, total = Affloss(warped, fixed, **loss_kwargs)
+            return total, (p, c)
+
+        (total, (p, c)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": total, "photo_loss": p, "corr_loss": c}
 
     return train_step
 
