@@ -76,3 +76,20 @@ def test_pallas_interpret_matches_reference(rng):
     got = np.asarray(_corr_fwd_pallas(f1, f2, 4, 2, interpret=True))
     want = np.asarray(correlation_reference(f1, f2, 4, 2))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_channelnorm_grad_finite_at_zero():
+    """Regression: sqrt backward at exact-zero pixels must stay finite.
+
+    Exact zeros occur wherever an OOB warp tap meets a zero fixed pixel
+    (masked-MRI background); the unguarded d sqrt(sum x^2) = x/||x|| NaN'd
+    FlowNet2 training within 3 steps on TPU.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpureg.ops import channelnorm
+
+    x = jnp.zeros((1, 4, 4, 3)).at[0, 0, 0, 0].set(1.0)
+    g = jax.grad(lambda v: jnp.sum(channelnorm(v)))(x)
+    assert np.isfinite(np.asarray(g)).all()

@@ -89,3 +89,22 @@ def test_shard_batch_util():
     assert out["image_c"].sharding.spec == jax.sharding.PartitionSpec(
         "data", None, None, None
     )
+
+
+def test_bf16_mixed_precision_step():
+    import jax.numpy as jnp
+
+    from tpureg.train import make_train_step
+
+    state, imgs = _setup()
+    step = make_train_step(donate=False, compute_dtype=jnp.bfloat16)
+    state2, m = step(state, imgs)
+    assert np.isfinite(float(m["loss"]))
+    # master params stay fp32
+    dtypes = {p.dtype for p in jax.tree.leaves(state2.params)}
+    assert dtypes == {np.dtype(np.float32)}
+    stats_dtypes = {s.dtype for s in jax.tree.leaves(state2.batch_stats)}
+    assert stats_dtypes == {np.dtype(np.float32)}
+    # loss close to the fp32 step's
+    _, m32 = make_train_step(donate=False)(state, imgs)
+    assert abs(float(m["loss"]) - float(m32["loss"])) / float(m32["loss"]) < 0.05

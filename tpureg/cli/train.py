@@ -107,6 +107,8 @@ def build_argparser():
     p.add_argument("--logdir", default="./log")
     p.add_argument("--seed", default=6, type=int)
     p.add_argument("--limit_volumes", default=10, type=int)
+    p.add_argument("--precision", default="fp32", choices=("fp32", "bf16"),
+                   help="bf16 = mixed precision (fp32 master params/BN)")
     return p
 
 
@@ -158,8 +160,11 @@ def main(argv=None):
         )
         state = state.replace(params=params, batch_stats=stats)
 
-    train_step = make_train_step()
-    eval_step = make_eval_step()
+    import jax.numpy as jnp
+
+    compute_dtype = jnp.bfloat16 if args.precision == "bf16" else None
+    train_step = make_train_step(compute_dtype=compute_dtype)
+    eval_step = make_eval_step(compute_dtype=compute_dtype)
 
     def make_loaders(epoch_idx):
         if args.synthetic:

@@ -29,7 +29,26 @@ import jax.numpy as jnp
 
 from .warp import base_grid, sample2d, sample2d_nearest
 
-__all__ = ["rand_elastic_2d", "elastic_displacement_2d"]
+__all__ = ["rand_elastic_2d", "elastic_displacement_2d", "rand_intensity"]
+
+
+def rand_intensity(key: jax.Array, image, contrast=(0.7, 1.3),
+                   brightness_std: float = 0.1):
+    """Random contrast/brightness jitter + per-sample min-max rescale.
+
+    On-device equivalent of the reference's ``rescale_img`` intensity
+    augmentation (utils.py:113-118: contrast U(0.7,1.3), brightness
+    N(0,0.1), then min-max normalize). ``image``: [B, H, W, C].
+    """
+    k_c, k_b = jax.random.split(key)
+    b = image.shape[0]
+    c = jax.random.uniform(k_c, (b, 1, 1, 1), minval=contrast[0],
+                           maxval=contrast[1])
+    off = jax.random.normal(k_b, (b, 1, 1, 1)) * brightness_std
+    y = image * c + off
+    lo = jnp.min(y, axis=(1, 2, 3), keepdims=True)
+    hi = jnp.max(y, axis=(1, 2, 3), keepdims=True)
+    return jnp.where(hi > lo, (y - lo) / (hi - lo), y)
 
 
 def elastic_displacement_2d(

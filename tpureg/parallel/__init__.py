@@ -1,4 +1,6 @@
 from .mesh import (
+    fsdp_param_sharding,
+    fsdp_state_sharding,
     batch_sharding,
     make_mesh,
     replicated,
@@ -7,6 +9,8 @@ from .mesh import (
 )
 
 __all__ = [
+    "fsdp_param_sharding",
+    "fsdp_state_sharding",
     "make_mesh",
     "batch_sharding",
     "replicated",

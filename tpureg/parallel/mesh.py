@@ -30,6 +30,8 @@ __all__ = [
     "replicated",
     "shard_batch",
     "spatial_sharding",
+    "fsdp_param_sharding",
+    "fsdp_state_sharding",
 ]
 
 
@@ -68,6 +70,37 @@ def spatial_sharding(mesh: Mesh, ndim: int = 5, axis: int = 2) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def fsdp_param_sharding(mesh: Mesh, param, min_size: int = 2**16,
+                        axis: str = "data") -> NamedSharding:
+    """FSDP-style sharding for one parameter: shard the largest dimension
+    divisible by the mesh axis; small/indivisible params replicate.
+
+    The workload's models (≤162.5M params) replicate trivially, but the
+    mesh exposes FSDP as a config change (SURVEY.md §2.3): apply this over a
+    state pytree via ``fsdp_state_sharding`` and pjit partitions optimizer
+    state and params across 'data', all-gathering weights per layer.
+    """
+    n = mesh.shape[axis]
+    shape = getattr(param, "shape", ())
+    if np.prod(shape, dtype=np.int64) < min_size:
+        return NamedSharding(mesh, P())
+    dims = sorted(range(len(shape)), key=lambda d: -shape[d])
+    for d in dims:
+        if shape[d] % n == 0:
+            spec = [None] * len(shape)
+            spec[d] = axis
+            return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def fsdp_state_sharding(mesh: Mesh, state):
+    """Sharding pytree for a TrainState: FSDP params/opt-state, replicated
+    scalars."""
+    import jax
+
+    return jax.tree.map(lambda p: fsdp_param_sharding(mesh, p), state)
 
 
 def shard_batch(mesh: Mesh, batch):

@@ -27,29 +27,59 @@ __all__ = [
 
 def loss_from_outputs(outputs, imgs, loss_kwargs):
     flows, warped_imgs, _, _ = outputs
-    fixed = imgs[..., 0:1]
+    # the multi-scale loss always evaluates in fp32, whatever the compute dtype
+    flows = [f.astype(jnp.float32) for f in flows]
+    warped_imgs = [w.astype(jnp.float32) for w in warped_imgs]
+    fixed = imgs[..., 0:1].astype(jnp.float32)
     return OFEloss(flows, warped_imgs, fixed, **loss_kwargs)
 
 
-def make_train_step(loss_kwargs: Optional[dict] = None, donate: bool = True):
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
+def make_train_step(
+    loss_kwargs: Optional[dict] = None,
+    donate: bool = True,
+    compute_dtype: Optional[jnp.dtype] = None,
+):
+    """Fused train step. ``compute_dtype=jnp.bfloat16`` enables TPU-native
+    mixed precision: master params stay fp32 (Adam state, BN stats too — the
+    BatchNorm blocks pin fp32 internally), while conv/warp activations and
+    weights run in bf16. Replaces the reference's optional fp16-storage
+    wrappers (flownet2/models.py:47-88, submodules.py:40-53).
+    """
     loss_kwargs = loss_kwargs or {}
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state, imgs):
         def loss_fn(params):
+            if compute_dtype is not None:
+                params = _cast_floats(params, compute_dtype)
+                imgs_c = imgs.astype(compute_dtype)
+            else:
+                imgs_c = imgs
             outputs, mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                imgs,
+                imgs_c,
                 None,
                 train=True,
                 mutable=["batch_stats"],
             )
+            new_stats = _cast_floats(mutated["batch_stats"], jnp.float32)
             p, c, s, total = loss_from_outputs(outputs, imgs, loss_kwargs)
-            return total, (p, c, s, mutated["batch_stats"])
+            return total, (p, c, s, new_stats)
 
         (total, (p, c, s, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if compute_dtype is not None:  # grads of the cast come back fp32
+            grads = _cast_floats(grads, jnp.float32)
         state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=new_stats)
         metrics = {
@@ -92,14 +122,20 @@ def make_affine_train_step(loss_kwargs: Optional[dict] = None,
     return train_step
 
 
-def make_eval_step(loss_kwargs: Optional[dict] = None):
+def make_eval_step(loss_kwargs: Optional[dict] = None,
+                   compute_dtype: Optional[jnp.dtype] = None):
     loss_kwargs = loss_kwargs or {}
 
     @jax.jit
     def eval_step(state, imgs, segs=None):
+        params = state.params
+        imgs_c = imgs
+        if compute_dtype is not None:
+            params = _cast_floats(params, compute_dtype)
+            imgs_c = imgs.astype(compute_dtype)
         outputs = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            imgs,
+            {"params": params, "batch_stats": state.batch_stats},
+            imgs_c,
             segs,
             train=False,
         )
