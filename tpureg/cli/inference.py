@@ -27,6 +27,8 @@ from ..metrics import (
     dice_average,
     dist_hausdorff,
     flow_mag,
+    log_jacobian_std,
+    neg_jacobian_fraction,
     ssim,
 )
 from ..reg import OpticalFlowReg
@@ -38,7 +40,7 @@ from ..utils.tb import MetricWriter
 PRINT_INTERVAL = 2
 
 METRICS = ("dice", "mse", "psnr", "hausdorff", "ssim_img", "ssim_seg", "mi",
-           "corr", "mag")
+           "corr", "mag", "neg_jac", "log_jac_std")
 
 
 def evaluate(state, eval_step, loader, writer: MetricWriter, length: int,
@@ -81,6 +83,10 @@ def evaluate(state, eval_step, loader, writer: MetricWriter, length: int,
 
         mag, mag_img = flow_mag(np.asarray(flows[0][:1]))
         meters["mag"].update(mag)
+        flow0 = np.asarray(flows[0])
+        for j in range(flow0.shape[0]):
+            meters["neg_jac"].update(neg_jacobian_fraction(flow0[j]))
+            meters["log_jac_std"].update(log_jacobian_std(flow0[j]))
 
         step = i + 1
         writer.add_images("fixed_img", fixed, step)

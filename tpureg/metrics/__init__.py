@@ -1,4 +1,5 @@
 from .image import MI, MSE, PSNR, CORR, ssim
+from .jacobian import jacobian_determinant, log_jacobian_std, neg_jacobian_fraction
 from .seg import dice_average, dice_coefficient, dist_hausdorff, seg_trans
 from .viz import flow_mag, grid_generator
 
@@ -8,6 +9,9 @@ __all__ = [
     "PSNR",
     "CORR",
     "ssim",
+    "jacobian_determinant",
+    "log_jacobian_std",
+    "neg_jacobian_fraction",
     "dice_average",
     "dice_coefficient",
     "dist_hausdorff",
