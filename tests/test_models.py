@@ -118,3 +118,16 @@ def test_registry_flownet2_is_cascade():
     from tpureg.models import FlowNet2
 
     assert isinstance(build_predictor("flownet2"), FlowNet2)
+
+
+def test_flownets_non_pow2_input():
+    """crop_like parity: decoders crop upsampled tensors for non-2^k sizes
+    (reference FlowNetS/util.py:75-79)."""
+    out, _ = _run(FlowNetS(), jnp.zeros((1, 96, 96, 2)), train=True)
+    assert out[0].shape == (1, 96, 96, 2)
+    assert out[1].shape == (1, 24, 24, 2)
+
+
+def test_flownet_sd_non_pow2_input():
+    out, _ = _run(FlowNetSD(), jnp.zeros((1, 96, 96, 2)), train=True)
+    assert out[0].shape == (1, 24, 24, 2)

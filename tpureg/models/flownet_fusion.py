@@ -50,7 +50,10 @@ class FlowNetFusion(nn.Module):
                                       name="upflow2to1")(flow2)
         d1 = Deconv(32, use_bias=True, kernel_init=k_init, bias_init=b_init,
                     name="deconv1")(c2)
-        cat1 = jnp.concatenate([c1, d1, flow2_up], axis=-1)  # 162 ch
+        sh, sw = c1.shape[1], c1.shape[2]
+        cat1 = jnp.concatenate(
+            [c1, d1[:, :sh, :sw], flow2_up[:, :sh, :sw]], axis=-1
+        )  # 162 ch
         i1 = IConvBlock(32, use_bn=self.use_bn, kernel_init=k_init,
                         bias_init=b_init, name="inter_conv1")(cat1, train)
         flow1 = predict_flow(use_bias=True, kernel_init=k_init, bias_init=b_init,
@@ -60,7 +63,10 @@ class FlowNetFusion(nn.Module):
                                       name="upflow1to0")(flow1)
         d0 = Deconv(16, use_bias=True, kernel_init=k_init, bias_init=b_init,
                     name="deconv0")(cat1)
-        cat0 = jnp.concatenate([c0, d0, flow1_up], axis=-1)  # 82 ch
+        sh, sw = c0.shape[1], c0.shape[2]
+        cat0 = jnp.concatenate(
+            [c0, d0[:, :sh, :sw], flow1_up[:, :sh, :sw]], axis=-1
+        )  # 82 ch
         i0 = IConvBlock(16, use_bn=self.use_bn, kernel_init=k_init,
                         bias_init=b_init, name="inter_conv0")(cat0, train)
         return predict_flow(use_bias=True, kernel_init=k_init, bias_init=b_init,

@@ -85,7 +85,9 @@ def refine_level(
 
     Returns (concat, flow) where ``flow = predict_flow(concat)`` is the
     refined flow at this level. Mirrors the repeated block pattern of every
-    FlowNet decoder (e.g. flownet2/networks/FlowNetS.py:69-89).
+    FlowNet decoder (e.g. flownet2/networks/FlowNetS.py:69-89). Upsampled
+    tensors are cropped to the skip's spatial size for non-2^k inputs —
+    the reference's functional ``crop_like`` (FlowNetS/util.py:75-79).
     """
     flow_up = TorchConvTranspose(
         2, 4, 2, 1, use_bias=upflow_bias, kernel_init=k_init, bias_init=b_init,
@@ -95,6 +97,9 @@ def refine_level(
         deconv_feat, use_bias=biased, kernel_init=k_init, bias_init=b_init,
         name=f"deconv{level}",
     )(concat_prev)
+    sh, sw = skip.shape[1], skip.shape[2]
+    flow_up = flow_up[:, :sh, :sw]
+    feat_up = feat_up[:, :sh, :sw]
     concat = jnp.concatenate([skip, feat_up, flow_up], axis=-1)
     flow = predict_flow(
         use_bias=biased, kernel_init=k_init, bias_init=b_init,

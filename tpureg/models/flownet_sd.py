@@ -71,21 +71,27 @@ class FlowNetSD(nn.Module):
             return predict_flow(use_bias=True, kernel_init=k_init,
                                 bias_init=b_init, name=name)(y)
 
+        def crop_cat(skip, feat, fl):
+            sh, sw = skip.shape[1], skip.shape[2]
+            return jnp.concatenate(
+                [skip, feat[:, :sh, :sw], fl[:, :sh, :sw]], axis=-1
+            )
+
         flow6 = predict(c6, "predict_flow6")
-        cat5 = jnp.concatenate([c5, deconv(512, c6, "deconv5"),
-                                up_flow(flow6, "upflow6to5")], axis=-1)
+        cat5 = crop_cat(c5, deconv(512, c6, "deconv5"),
+                        up_flow(flow6, "upflow6to5"))
         flow5 = predict(inter(512, cat5, "inter_conv5"), "predict_flow5")
 
-        cat4 = jnp.concatenate([c4, deconv(256, cat5, "deconv4"),
-                                up_flow(flow5, "upflow5to4")], axis=-1)
+        cat4 = crop_cat(c4, deconv(256, cat5, "deconv4"),
+                        up_flow(flow5, "upflow5to4"))
         flow4 = predict(inter(256, cat4, "inter_conv4"), "predict_flow4")
 
-        cat3 = jnp.concatenate([c3, deconv(128, cat4, "deconv3"),
-                                up_flow(flow4, "upflow4to3")], axis=-1)
+        cat3 = crop_cat(c3, deconv(128, cat4, "deconv3"),
+                        up_flow(flow4, "upflow4to3"))
         flow3 = predict(inter(128, cat3, "inter_conv3"), "predict_flow3")
 
-        cat2 = jnp.concatenate([c2, deconv(64, cat3, "deconv2"),
-                                up_flow(flow3, "upflow3to2")], axis=-1)
+        cat2 = crop_cat(c2, deconv(64, cat3, "deconv2"),
+                        up_flow(flow3, "upflow3to2"))
         flow2 = predict(inter(64, cat2, "inter_conv2"), "predict_flow2")
 
         if train:

@@ -26,9 +26,11 @@ hot custom op — correlation — does get one; see correlation_pallas.py).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["warp2d", "warp3d", "base_grid", "sample2d", "sample2d_nearest"]
+__all__ = ["warp2d", "warp3d", "base_grid", "sample2d", "sample2d_gather",
+           "sample2d_nearest"]
 
 
 def base_grid(h: int, w: int, dtype=jnp.float32):
@@ -49,7 +51,31 @@ def sample2d(img, px, py):
     (PyTorch grid_sample ``padding_mode='zeros'`` semantics — each of the four
     taps is zeroed independently when it falls outside the image).
     Returns [B, H_out, W_out, C].
+
+    On TPU, single-channel full-resolution warps dispatch to the fused
+    Pallas kernel (ops/warp_pallas.py) — the gather lowering is a scalar
+    loop and dominated the FlowNet2 train step before this.
     """
+    import os
+
+    b, h, w, c = img.shape
+    p_total = int(px.shape[1] * px.shape[2]) if px.ndim == 3 else 0
+    if (p_total and jax.default_backend() == "tpu"
+            and not os.environ.get("TPUREG_NO_PALLAS_WARP")):
+        from .warp_pallas import supported, warp2d_pallas
+
+        if supported(img.shape, p_total):
+            out = warp2d_pallas(
+                img[..., 0],
+                px.reshape(b, p_total).astype(jnp.float32),
+                py.reshape(b, p_total).astype(jnp.float32),
+            )
+            return out.reshape(*px.shape, 1).astype(img.dtype)
+    return sample2d_gather(img, px, py)
+
+
+def sample2d_gather(img, px, py):
+    """Reference 4-tap gather implementation (semantics oracle, CPU path)."""
     b, h, w, c = img.shape
     compute_dtype = img.dtype if img.dtype == jnp.float64 else jnp.float32
     px = px.astype(compute_dtype)

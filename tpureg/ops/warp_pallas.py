@@ -1,0 +1,325 @@
+"""Fused Pallas TPU kernel for bilinear backward warping (gather-free).
+
+Why: XLA lowers per-pixel gathers to a scalar loop (~9 cycles/element). The
+profiled FlowNet2 train step spent 270 ms/step — 56% — in warp-gather
+fusions (5 full-resolution warps × 4 taps). This kernel reformulates the
+warp as MXU work instead:
+
+    out[p] = Σ_w  [ wy0·(R0 @ img) + wy1·(R1 @ img) ][p, w] · Wc[p, w]
+
+where R0/R1 are one-hot row-selection matrices (built on the VPU from
+integer compares — exact in bf16) and Wc holds the fused horizontal
+bilinear weights + bounds masks. The row-select matmuls run on the MXU; the
+whole per-block pipeline (one-hot build → 2 matmuls → weighting → column
+reduce) stays in VMEM, so HBM traffic is O(img + flow + out) instead of
+either the O(P·W) row-matrix round-trip a pure-XLA einsum pays or the
+scalar-loop latency of the gather lowering.
+
+Layouts matter: every array is kept 2-D with a ≥128 lane dimension —
+a trailing size-1 channel dim would be padded 128× by TPU tiling. The
+public entry takes C=1 images as (B, H, W) and positions as two (B, P)
+planes; multi-channel cases fall back to the gather path (feature-map warps
+in PWC/RAFT are at small resolutions where gathers are cheap).
+
+fp32 exactness: the one-hot matmul is exact for bf16-representable values;
+img is split hi/lo (``img = hi + lo`` with bf16 hi) and both passes
+accumulate in fp32, so results match the reference gather warp to ~1e-6.
+
+Backward: custom VJP, both cotangents as Pallas kernels — d/dimg is the
+transposed one-hot matmul accumulated across output blocks (grid
+revisiting); d/dposition recomputes tap values in-kernel and applies the
+analytic bilinear derivative.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["warp2d_pallas", "supported"]
+
+
+def _bounds(pi, lo, hi):
+    return (pi >= lo) & (pi <= hi)
+
+
+def _tap_weights(px, py, h, w):
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = px - x0
+    fy = py - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    wy0 = (1.0 - fy) * _bounds(y0i, 0, h - 1).astype(jnp.float32)
+    wy1 = fy * _bounds(y0i + 1, 0, h - 1).astype(jnp.float32)
+    wx0 = (1.0 - fx) * _bounds(x0i, 0, w - 1).astype(jnp.float32)
+    wx1 = fx * _bounds(x0i + 1, 0, w - 1).astype(jnp.float32)
+    return x0i, y0i, wx0, wx1, wy0, wy1
+
+
+def _row_onehot(yi, h, dtype=jnp.bfloat16):
+    p = yi.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1)
+    return (jnp.clip(yi, 0, h - 1)[:, None] == rows).astype(dtype)
+
+
+def _col_weight(x0i, wx0, wx1, w):
+    p = x0i.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1)
+    c0 = (jnp.clip(x0i, 0, w - 1)[:, None] == cols).astype(jnp.float32)
+    c1 = (jnp.clip(x0i + 1, 0, w - 1)[:, None] == cols).astype(jnp.float32)
+    return c0 * wx0[:, None] + c1 * wx1[:, None]
+
+
+def _split(img):
+    hi = img.astype(jnp.bfloat16)
+    lo = (img - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _rowsel(r, img_hi, img_lo):
+    """(P, H) bf16 one-hot @ (H, W) split image → (P, W) fp32-exact."""
+    dn = (((1,), (0,)), ((), ()))
+    a = jax.lax.dot_general(r, img_hi, dn,
+                            preferred_element_type=jnp.float32)
+    b = jax.lax.dot_general(r, img_lo, dn,
+                            preferred_element_type=jnp.float32)
+    return a + b
+
+
+def _fwd_kernel(img_ref, px_ref, py_ref, out_ref, *, h, w, pblk):
+    img_hi, img_lo = _split(img_ref[0].astype(jnp.float32))
+    px = px_ref[0].reshape(pblk)
+    py = py_ref[0].reshape(pblk)
+    x0i, y0i, wx0, wx1, wy0, wy1 = _tap_weights(px, py, h, w)
+    a0 = _rowsel(_row_onehot(y0i, h), img_hi, img_lo)
+    a1 = _rowsel(_row_onehot(y0i + 1, h), img_hi, img_lo)
+    arow = a0 * wy0[:, None] + a1 * wy1[:, None]           # (P, W)
+    wc = _col_weight(x0i, wx0, wx1, w)                     # (P, W)
+    out_ref[0] = jnp.sum(arow * wc, axis=1).reshape(out_ref.shape[1:])
+
+
+def _fwd_taps_kernel(img_ref, px_ref, py_ref, out_ref, v00_ref, v01_ref,
+                     v10_ref, v11_ref, *, h, w, pblk):
+    """Forward + masked tap values (residuals for an elementwise d/dpos)."""
+    img_hi, img_lo = _split(img_ref[0].astype(jnp.float32))
+    px = px_ref[0].reshape(pblk)
+    py = py_ref[0].reshape(pblk)
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = px - x0
+    fy = py - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    my0 = _bounds(y0i, 0, h - 1).astype(jnp.float32)
+    my1 = _bounds(y0i + 1, 0, h - 1).astype(jnp.float32)
+    mx0 = _bounds(x0i, 0, w - 1).astype(jnp.float32)
+    mx1 = _bounds(x0i + 1, 0, w - 1).astype(jnp.float32)
+
+    a0 = _rowsel(_row_onehot(y0i, h), img_hi, img_lo)
+    a1 = _rowsel(_row_onehot(y0i + 1, h), img_hi, img_lo)
+    p = x0i.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1)
+    c0 = (jnp.clip(x0i, 0, w - 1)[:, None] == cols).astype(jnp.float32)
+    c1 = (jnp.clip(x0i + 1, 0, w - 1)[:, None] == cols).astype(jnp.float32)
+
+    v00 = jnp.sum(a0 * c0, axis=1) * mx0 * my0
+    v01 = jnp.sum(a0 * c1, axis=1) * mx1 * my0
+    v10 = jnp.sum(a1 * c0, axis=1) * mx0 * my1
+    v11 = jnp.sum(a1 * c1, axis=1) * mx1 * my1
+
+    out = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+           + fy * ((1 - fx) * v10 + fx * v11))
+    shp = out_ref.shape[1:]
+    out_ref[0] = out.reshape(shp)
+    v00_ref[0] = v00.reshape(shp)
+    v01_ref[0] = v01.reshape(shp)
+    v10_ref[0] = v10.reshape(shp)
+    v11_ref[0] = v11.reshape(shp)
+
+
+def _dimg_kernel(px_ref, py_ref, g_ref, dimg_ref, *, h, w, pblk):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dimg_ref[...] = jnp.zeros_like(dimg_ref)
+
+    px = px_ref[0].reshape(pblk)
+    py = py_ref[0].reshape(pblk)
+    x0i, y0i, wx0, wx1, wy0, wy1 = _tap_weights(px, py, h, w)
+    # `+ 0.0 * px` joins g's vector layout with the position pipeline —
+    # without it Mosaic's layout inference dies on an unsupported shape cast
+    # when this reshaped vector feeds a dot operand
+    g = g_ref[0].reshape(pblk).astype(jnp.float32) + 0.0 * px
+    darow = (_col_weight(x0i, wx0, wx1, w) * g[:, None]).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))  # standard (H,P)@(P,W); explicit transpose
+    r0t = jnp.transpose(
+        (_row_onehot(y0i, h, jnp.float32) * wy0[:, None]).astype(jnp.bfloat16)
+    )
+    r1t = jnp.transpose(
+        (_row_onehot(y0i + 1, h, jnp.float32) * wy1[:, None]).astype(jnp.bfloat16)
+    )
+    d0 = jax.lax.dot_general(r0t, darow, dn,
+                             preferred_element_type=jnp.float32)
+    d1 = jax.lax.dot_general(r1t, darow, dn,
+                             preferred_element_type=jnp.float32)
+    dimg_ref[0] = dimg_ref[0] + d0 + d1
+
+
+def _dpos_kernel(img_ref, px_ref, py_ref, g_ref, dpx_ref, dpy_ref, *, h, w,
+                 pblk):
+    img_hi, img_lo = _split(img_ref[0].astype(jnp.float32))
+    px = px_ref[0].reshape(pblk)
+    py = py_ref[0].reshape(pblk)
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = px - x0
+    fy = py - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    my0 = _bounds(y0i, 0, h - 1).astype(jnp.float32)
+    my1 = _bounds(y0i + 1, 0, h - 1).astype(jnp.float32)
+    mx0 = _bounds(x0i, 0, w - 1).astype(jnp.float32)
+    mx1 = _bounds(x0i + 1, 0, w - 1).astype(jnp.float32)
+
+    a0 = _rowsel(_row_onehot(y0i, h), img_hi, img_lo)      # (P, W)
+    a1 = _rowsel(_row_onehot(y0i + 1, h), img_hi, img_lo)
+
+    p = x0i.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1)
+    c0 = (jnp.clip(x0i, 0, w - 1)[:, None] == cols).astype(jnp.float32)
+    c1 = (jnp.clip(x0i + 1, 0, w - 1)[:, None] == cols).astype(jnp.float32)
+
+    # masked tap values: fold BOTH axis masks in, so the weight-derivative
+    # formulas below only need the fractional parts
+    v00 = jnp.sum(a0 * c0, axis=1) * mx0 * my0
+    v01 = jnp.sum(a0 * c1, axis=1) * mx1 * my0
+    v10 = jnp.sum(a1 * c0, axis=1) * mx0 * my1
+    v11 = jnp.sum(a1 * c1, axis=1) * mx1 * my1
+
+    g = g_ref[0].reshape(pblk).astype(jnp.float32) + 0.0 * px
+    dpx = g * ((1 - fy) * (v01 - v00) + fy * (v11 - v10))
+    dpy = g * ((1 - fx) * (v10 - v00) + fx * (v11 - v01))
+    dpx_ref[0] = dpx.reshape(dpx_ref.shape[1:])
+    dpy_ref[0] = dpy.reshape(dpy_ref.shape[1:])
+
+
+PBLK = 1024  # 8 sublanes × 128 lanes per position block
+
+
+def supported(img_shape, p_total) -> bool:
+    """Whether the Pallas warp handles this case (else: gather fallback)."""
+    _, h, w, c = img_shape
+    return (
+        c == 1
+        and p_total % PBLK == 0
+        and p_total >= 4096
+        and h >= 8
+        and w >= 128
+        and h * w * 4 <= 4 * 2**20
+    )
+
+
+def _specs(h, w):
+    img_spec = pl.BlockSpec((1, h, w), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, PBLK // 128, 128), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    return img_spec, vec_spec
+
+
+def _as_blocks(v, b, p_total):
+    return v.reshape(b, p_total // 128, 128)
+
+
+def _fwd(img2d, px, py):
+    """img2d [B,H,W]; px/py [B,P] absolute positions → [B,P] fp32."""
+    b, h, w = img2d.shape
+    p_total = px.shape[1]
+    nblk = p_total // PBLK
+    img_spec, vec_spec = _specs(h, w)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, h=h, w=w, pblk=PBLK),
+        out_shape=jax.ShapeDtypeStruct((b, p_total // 128, 128), jnp.float32),
+        grid=(b, nblk),
+        in_specs=[img_spec, vec_spec, vec_spec],
+        out_specs=vec_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * p_total * h * w,
+            bytes_accessed=4 * b * (h * w + 4 * p_total),
+            transcendentals=0,
+        ),
+    )(img2d, _as_blocks(px, b, p_total), _as_blocks(py, b, p_total))
+    return out.reshape(b, p_total)
+
+
+@jax.custom_vjp
+def warp2d_pallas(img2d, px, py):
+    """Bilinear sample of [B,H,W] ``img2d`` at positions px/py [B,P].
+
+    Zero contribution from out-of-bounds taps (matches ops.warp.sample2d).
+    Returns [B, P] fp32.
+    """
+    return _fwd(img2d, px, py)
+
+
+def _fwd_with_taps(img2d, px, py):
+    b, h, w = img2d.shape
+    p_total = px.shape[1]
+    nblk = p_total // PBLK
+    img_spec, vec_spec = _specs(h, w)
+    shp = jax.ShapeDtypeStruct((b, p_total // 128, 128), jnp.float32)
+    outs = pl.pallas_call(
+        functools.partial(_fwd_taps_kernel, h=h, w=w, pblk=PBLK),
+        out_shape=(shp,) * 5,
+        grid=(b, nblk),
+        in_specs=[img_spec, vec_spec, vec_spec],
+        out_specs=(vec_spec,) * 5,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * p_total * h * w,
+            bytes_accessed=4 * b * (h * w + 8 * p_total),
+            transcendentals=0,
+        ),
+    )(img2d, _as_blocks(px, b, p_total), _as_blocks(py, b, p_total))
+    return tuple(o.reshape(b, p_total) for o in outs)
+
+
+def _vjp_fwd(img2d, px, py):
+    out, v00, v01, v10, v11 = _fwd_with_taps(img2d, px, py)
+    return out, (img2d, px, py, v00, v01, v10, v11)
+
+
+def _vjp_bwd(res, g):
+    img2d, px, py, v00, v01, v10, v11 = res
+    b, h, w = img2d.shape
+    p_total = px.shape[1]
+    nblk = p_total // PBLK
+    img_spec, vec_spec = _specs(h, w)
+
+    # d/dimg: kernel (DCE'd entirely when the image is a non-differentiated
+    # input, the common case — warps of the raw moving image)
+    dimg = pl.pallas_call(
+        functools.partial(_dimg_kernel, h=h, w=w, pblk=PBLK),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        grid=(b, nblk),
+        in_specs=[vec_spec, vec_spec, vec_spec],
+        out_specs=img_spec,
+    )(_as_blocks(px, b, p_total), _as_blocks(py, b, p_total),
+      _as_blocks(g, b, p_total))
+
+    # d/dposition: pure elementwise on the saved tap values — no kernel
+    fx = px - jnp.floor(px)
+    fy = py - jnp.floor(py)
+    dpx = g * ((1 - fy) * (v01 - v00) + fy * (v11 - v10))
+    dpy = g * ((1 - fx) * (v10 - v00) + fx * (v11 - v01))
+
+    return (dimg.astype(img2d.dtype), dpx.astype(px.dtype),
+            dpy.astype(py.dtype))
+
+
+warp2d_pallas.defvjp(_vjp_fwd, _vjp_bwd)
