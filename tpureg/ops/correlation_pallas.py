@@ -15,9 +15,11 @@ pipeline's double buffering, well under the 16 MB budget. The K² displacement
 sweep is fully unrolled inside the kernel (static slice offsets → straight-
 line VPU code, no dynamic relayouts).
 
-Backward: the op is algebraically simple (two shifted products), so the VJP
-is taken from the jnp reference implementation — XLA fuses it acceptably and
-training at reference shapes (≤64², C ≤ 256) is conv-dominated.
+Backward: Pallas kernels on TPU. df1 accumulates g_d-weighted shifted f2
+slabs over a (B, C-slab, dy-row, H-rowblock) grid (output revisiting bounds
+the Mosaic stack); df2 is scatter-free — each displacement adds g_d·f1 into
+a padded VMEM scratch at its static offset, and the final grid step emits
+the center crop. The jnp reference VJP remains the CPU path.
 
 Validated against the jnp reference on real TPU hardware by
 tools/check_pallas_tpu.py (forward and grad, all three reference configs).
@@ -100,6 +102,117 @@ def _corr_fwd_pallas(f1, f2, max_displacement: int, stride2: int,
     return out
 
 
+def _df1_kernel(g_ref, f2p_ref, df1_ref, *, k, s2, h, w, inv_c):
+    """df1[y,x,c] = (1/C) Σ_d g[y,x,d] · f2p[y+iy·s2, x+ix·s2, c].
+
+    The dy row of the displacement window is a grid axis (output-block
+    revisiting) — a fully unrolled K² accumulation makes Mosaic allocate a
+    stack slot per intermediate and OOM VMEM.
+    """
+    iy = pl.program_id(2)
+    r = pl.program_id(3)
+    hb = df1_ref.shape[1]  # row-block height (H split to bound live temps)
+
+    @pl.when(iy == 0)
+    def _():
+        df1_ref[...] = jnp.zeros_like(df1_ref)
+
+    row0 = r * hb
+    for ix in range(k):
+        shifted = f2p_ref[
+            0, pl.ds(iy * s2 + row0, hb), ix * s2 : ix * s2 + w, :
+        ].astype(jnp.float32)
+        # g arrives channel-first (B, K², H, W) and blocked by displacement
+        # row (the grid's iy axis), so the in-kernel index is static
+        gd = g_ref[0, ix, pl.ds(row0, hb), :].astype(jnp.float32)
+        df1_ref[0] = df1_ref[0] + (gd * inv_c)[:, :, None] * shifted
+
+
+def _df2_kernel(g_ref, f1_ref, df2_ref, buf, *, k, s2, h, w, hp, wp, inv_c):
+    """Scatter-free df2: accumulate g_d·f1 into a padded VMEM buffer at the
+    displacement's static offset, then emit the center crop. dy rows on the
+    grid axis; the scratch buffer persists across the sequential grid."""
+    iy = pl.program_id(2)
+    md = (k - 1) * s2 // 2
+
+    @pl.when(iy == 0)
+    def _():
+        buf[...] = jnp.zeros_like(buf)
+
+    f1 = f1_ref[0].astype(jnp.float32)
+    y0 = iy * s2
+    for ix in range(k):
+        x0 = ix * s2
+        gd = g_ref[0, ix, :, :].astype(jnp.float32)  # (H, W), static index
+        buf[pl.ds(y0, h), x0 : x0 + w, :] = (
+            buf[pl.ds(y0, h), x0 : x0 + w, :] + gd[:, :, None] * f1
+        )
+
+    @pl.when(iy == k - 1)
+    def _():
+        df2_ref[0] = buf[md : md + h, md : md + w, :] * inv_c
+
+
+def _corr_bwd_pallas(f1, f2, g, max_displacement: int, stride2: int):
+    b, h, w, c = f1.shape
+    md, s2 = max_displacement, stride2
+    k = displacement_count(md, s2)
+
+    cblk = 128 if c > 128 else c
+    c_pad = -(-c // cblk) * cblk
+    f1p_ch = f1
+    f2p_ch = f2
+    if c_pad != c:
+        f1p_ch = jnp.pad(f1, ((0, 0),) * 3 + ((0, c_pad - c),))
+        f2p_ch = jnp.pad(f2, ((0, 0),) * 3 + ((0, c_pad - c),))
+    f2p = jnp.pad(f2p_ch, ((0, 0), (md, md), (md, md), (0, 0)))
+    hp, wp = h + 2 * md, w + 2 * md
+    n_cblk = c_pad // cblk
+    inv_c = 1.0 / c
+
+    g_cf = jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2))  # (B, K², H, W)
+    # block g by displacement row: the grid's iy step sees only its K dx
+    # channels (86 KB instead of the full 1.8 MB cost volume)
+    g_spec = pl.BlockSpec((1, k, h, w), lambda i, j, l: (i, l, 0, 0),
+                          memory_space=pltpu.VMEM)
+    slab = lambda hh, ww: pl.BlockSpec(
+        (1, hh, ww, cblk), lambda i, j, l: (i, 0, 0, j),
+        memory_space=pltpu.VMEM,
+    )
+
+    n_rowblk = 2 if h >= 16 else 1
+    hb = h // n_rowblk
+    df1 = pl.pallas_call(
+        functools.partial(_df1_kernel, k=k, s2=s2, h=h, w=w, inv_c=inv_c),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c_pad), jnp.float32),
+        grid=(b, n_cblk, k, n_rowblk),
+        in_specs=[
+            pl.BlockSpec((1, k, h, w), lambda i, j, l, r: (i, l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp, cblk), lambda i, j, l, r: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hb, w, cblk),
+                               lambda i, j, l, r: (i, r, 0, j),
+                               memory_space=pltpu.VMEM),
+    )(g_cf, f2p)
+
+    df2 = pl.pallas_call(
+        functools.partial(_df2_kernel, k=k, s2=s2, h=h, w=w, hp=hp, wp=wp,
+                          inv_c=inv_c),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c_pad), jnp.float32),
+        grid=(b, n_cblk, k),
+        in_specs=[g_spec, slab(h, w)],
+        out_specs=slab(h, w),
+        scratch_shapes=[pltpu.VMEM((hp, wp, cblk), jnp.float32)],
+    )(g_cf, f1p_ch)
+
+    if c_pad != c:
+        df1 = df1[..., :c]
+        df2 = df2[..., :c]
+    return df1.astype(f1.dtype), df2.astype(f2.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def correlation_pallas(f1, f2, max_displacement: int, stride2: int = 1):
     return _corr_fwd_pallas(f1, f2, max_displacement, stride2)
@@ -111,6 +224,8 @@ def _fwd(f1, f2, max_displacement, stride2):
 
 def _bwd(max_displacement, stride2, res, g):
     f1, f2 = res
+    if jax.default_backend() == "tpu":
+        return _corr_bwd_pallas(f1, f2, g, max_displacement, stride2)
     _, vjp = jax.vjp(
         lambda a, b: correlation_reference(a, b, max_displacement, stride2), f1, f2
     )
