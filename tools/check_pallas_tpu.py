@@ -62,11 +62,13 @@ def main():
     pal = jax.jit(lambda a, b: correlation_pallas(a, b, 20, 2))
     ref = jax.jit(lambda a, b: correlation_reference(a, b, 20, 2))
     for fn, label in [(pal, "pallas"), (ref, "xla-ref")]:
-        fn(f1, f2).block_until_ready()
+        # fence via host transfer: block_until_ready returns early through
+        # the axon tunnel (see BASELINE.md)
+        float(jnp.sum(fn(f1, f2)))
         t0 = time.perf_counter()
         for _ in range(20):
             out = fn(f1, f2)
-        out.block_until_ready()
+        float(jnp.sum(out))
         dt = (time.perf_counter() - t0) / 20
         print(f"corr 441ch b8 {label:8s}: {dt*1e3:.3f} ms/call")
 
