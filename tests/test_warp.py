@@ -115,3 +115,14 @@ def test_warp2d_differentiable(rng):
     flow = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32))
     g = jax.grad(lambda f: jnp.sum(warp2d(img, f, "stn") ** 2))(flow)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_pallas_warp_gating():
+    """supported() admits full-res C=1 warps, rejects the rest (CPU-safe)."""
+    from tpureg.ops.warp_pallas import supported
+
+    assert supported((24, 256, 256, 1), 256 * 256)
+    assert supported((8, 64, 128, 1), 64 * 128)
+    assert not supported((8, 64, 64, 32), 64 * 64)   # multi-channel
+    assert not supported((1, 16, 16, 1), 81)          # RAFT lookup grids
+    assert not supported((1, 96, 96, 1), 96 * 96)     # W < 128

@@ -109,6 +109,10 @@ def build_argparser():
     p.add_argument("--limit_volumes", default=10, type=int)
     p.add_argument("--precision", default="fp32", choices=("fp32", "bf16"),
                    help="bf16 = mixed precision (fp32 master params/BN)")
+    p.add_argument("--lr_step", default=0, type=int,
+                   help="StepLR period in steps (reference defines "
+                        "StepLR(40, 0.8) but never steps it; 0 = constant)")
+    p.add_argument("--lr_gamma", default=0.8, type=float)
     return p
 
 
@@ -119,11 +123,15 @@ def main(argv=None):
 
     enable_compilation_cache()
 
+    from ..train.schedule import step_decay_schedule
+
+    lr = step_decay_schedule(args.lrIni, step_size=args.lr_step,
+                             gamma=args.lr_gamma, enabled=args.lr_step > 0)
     model = OpticalFlowReg(conv_predictor=args.model)
     key = jax.random.key(args.seed)
     sample = random_pair_batch(key, args.batch_size, args.image_size)
     state = create_train_state(
-        model, key, sample, learning_rate=args.lrIni, adam_eps=args.lrMin
+        model, key, sample, learning_rate=lr, adam_eps=args.lrMin
     )
     # checkpoint paths are keyed by predictor class name (train.py:127)
     from ..models import build_predictor
