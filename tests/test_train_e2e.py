@@ -108,3 +108,30 @@ def test_bf16_mixed_precision_step():
     # loss close to the fp32 step's
     _, m32 = make_train_step(donate=False)(state, imgs)
     assert abs(float(m["loss"]) - float(m32["loss"])) / float(m32["loss"]) < 0.05
+
+
+def test_fsdp_sharding_specs():
+    """FSDP helper shards large params over 'data', replicates small ones."""
+    from tpureg.parallel import fsdp_param_sharding, make_mesh
+
+    mesh = make_mesh()
+    big = np.zeros((7, 7, 2, 64), np.float32)  # 6272 < min_size → replicated
+    huge = np.zeros((3, 3, 512, 512), np.float32)
+    small = np.zeros((64,), np.float32)
+    assert fsdp_param_sharding(mesh, small).spec == jax.sharding.PartitionSpec()
+    assert fsdp_param_sharding(mesh, big).spec == jax.sharding.PartitionSpec()
+    spec = fsdp_param_sharding(mesh, huge).spec
+    assert "data" in tuple(spec)
+
+
+def test_fsdp_state_sharded_step():
+    """Param-sharded training step executes on the 8-device mesh."""
+    from tpureg.parallel import fsdp_state_sharding, make_mesh
+
+    state, imgs = _setup(batch=8)
+    mesh = make_mesh()
+    sharded = jax.device_put(state, fsdp_state_sharding(mesh, state))
+    imgs = jax.device_put(imgs, batch_sharding(mesh, 4))
+    step = make_train_step(donate=False)
+    new_state, m = step(sharded, imgs)
+    assert np.isfinite(float(m["loss"]))

@@ -39,10 +39,23 @@ PRINT_INTERVAL = 2
 
 def run_epoch(step_fn, state, loader, mode: str, n_batches_hint=None,
               train: bool = True):
-    """One pass over ``loader``; returns (state, avg metric dict)."""
+    """One pass over ``loader``; returns (state, avg metric dict).
+
+    Device metrics are converted to host floats lazily (at print intervals
+    and epoch end) so consecutive steps pipeline on the accelerator instead
+    of paying a host round-trip per batch.
+    """
     meters = {k: AverageMeter() for k in
               ("loss", "photo_loss", "corr_loss", "smooth_loss")}
     timer = AverageMeter()
+    pending = []
+
+    def flush():
+        for mset in pending:
+            for k, m in meters.items():
+                m.update(float(mset[k]))
+        pending.clear()
+
     tic = time.time()
     for i, batch in enumerate(loader):
         imgs = batch["image_c"]
@@ -50,12 +63,11 @@ def run_epoch(step_fn, state, loader, mode: str, n_batches_hint=None,
             state, metrics = step_fn(state, imgs)
         else:
             _, metrics = step_fn(state, imgs, None)
-        metrics = {k: float(v) for k, v in metrics.items()}
+        pending.append(metrics)
         timer.update(time.time() - tic)
         tic = time.time()
-        for k, m in meters.items():
-            m.update(metrics[k])
         if i % PRINT_INTERVAL == 0:
+            flush()
             total = f"/{n_batches_hint}" if n_batches_hint else ""
             print(
                 f"[{mode} batch {i + 1:03d}{total}] "
@@ -66,6 +78,7 @@ def run_epoch(step_fn, state, loader, mode: str, n_batches_hint=None,
                 f"photo {meters['photo_loss'].val:.4f}",
                 flush=True,
             )
+    flush()
     print(
         f"===> {mode} done in {timer.sum:.0f}s | avg loss "
         f"{meters['loss'].avg:.4f} smooth {meters['smooth_loss'].avg:.4f} "
