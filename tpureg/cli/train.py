@@ -86,7 +86,9 @@ def run_epoch(step_fn, state, loader, mode: str, n_batches_hint=None,
         f"{meters['photo_loss'].avg:.4f}\n",
         flush=True,
     )
-    return state, {k: m.avg for k, m in meters.items()}
+    out = {k: m.avg for k, m in meters.items()}
+    out["_n"] = meters["loss"].count
+    return state, out
 
 
 def synthetic_loader(key, n_batches: int, batch_size: int, size: int):
@@ -224,13 +226,12 @@ def main(argv=None):
 
         state, val_m = run_epoch(eval_step, state, val_loader, "VAL",
                                  train=False)
-        if val_m["loss"] < best_loss:
+        if val_m["_n"] and val_m["loss"] < best_loss:
             print("---------saving new best weights----------", flush=True)
             best_loss = val_m["loss"]
             save_best_weights(
                 args.workdir, predictor_name, state,
-                {"loss_val": val_m["loss"], **{f"{k}_val": v
-                                               for k, v in val_m.items()}},
+                {f"{k}_val": v for k, v in val_m.items() if k != "_n"},
             )
 
         state, test_m = run_epoch(eval_step, state, test_loader, "TEST",
