@@ -103,18 +103,20 @@ def _fwd_kernel(img_ref, px_ref, py_ref, out_ref, *, h, w, pblk):
     out_ref[0] = jnp.sum(arow * wc, axis=1).reshape(out_ref.shape[1:])
 
 
-def _fwd_taps_kernel(img_ref, px_ref, py_ref, out_ref, v00_ref, v01_ref,
-                     v10_ref, v11_ref, *, h, w, pblk):
-    """Forward + masked tap values (residuals for an elementwise d/dpos)."""
+def _fwd_taps_kernel(img_ref, px_ref, py_ref, out_ref, dpx_ref, dpy_ref,
+                     *, h, w, pblk):
+    """Forward + the two analytic position-derivative bases.
+
+    The bilinear derivative collapses onto the tensors the forward already
+    builds:  ∂out/∂px = Σ_w arow·(c1·mx1 − c0·mx0)  and
+             ∂out/∂py = Σ_w (my1·a1 − my0·a0)·wc,
+    so d/dposition costs two extra column reduces here and the backward is a
+    pure elementwise multiply by the output cotangent.
+    """
     img_hi, img_lo = _split(img_ref[0].astype(jnp.float32))
     px = px_ref[0].reshape(pblk)
     py = py_ref[0].reshape(pblk)
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
-    fx = px - x0
-    fy = py - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    x0i, y0i, wx0, wx1, wy0, wy1 = _tap_weights(px, py, h, w)
     my0 = _bounds(y0i, 0, h - 1).astype(jnp.float32)
     my1 = _bounds(y0i + 1, 0, h - 1).astype(jnp.float32)
     mx0 = _bounds(x0i, 0, w - 1).astype(jnp.float32)
@@ -122,24 +124,20 @@ def _fwd_taps_kernel(img_ref, px_ref, py_ref, out_ref, v00_ref, v01_ref,
 
     a0 = _rowsel(_row_onehot(y0i, h), img_hi, img_lo)
     a1 = _rowsel(_row_onehot(y0i + 1, h), img_hi, img_lo)
+    arow = a0 * wy0[:, None] + a1 * wy1[:, None]           # (P, W)
+
     p = x0i.shape[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1)
     c0 = (jnp.clip(x0i, 0, w - 1)[:, None] == cols).astype(jnp.float32)
     c1 = (jnp.clip(x0i + 1, 0, w - 1)[:, None] == cols).astype(jnp.float32)
+    wc = c0 * wx0[:, None] + c1 * wx1[:, None]
 
-    v00 = jnp.sum(a0 * c0, axis=1) * mx0 * my0
-    v01 = jnp.sum(a0 * c1, axis=1) * mx1 * my0
-    v10 = jnp.sum(a1 * c0, axis=1) * mx0 * my1
-    v11 = jnp.sum(a1 * c1, axis=1) * mx1 * my1
-
-    out = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
-           + fy * ((1 - fx) * v10 + fx * v11))
     shp = out_ref.shape[1:]
-    out_ref[0] = out.reshape(shp)
-    v00_ref[0] = v00.reshape(shp)
-    v01_ref[0] = v01.reshape(shp)
-    v10_ref[0] = v10.reshape(shp)
-    v11_ref[0] = v11.reshape(shp)
+    out_ref[0] = jnp.sum(arow * wc, axis=1).reshape(shp)
+    dcol = c1 * mx1[:, None] - c0 * mx0[:, None]
+    dpx_ref[0] = jnp.sum(arow * dcol, axis=1).reshape(shp)
+    drow = a1 * my1[:, None] - a0 * my0[:, None]
+    dpy_ref[0] = jnp.sum(drow * wc, axis=1).reshape(shp)
 
 
 def _dimg_kernel(px_ref, py_ref, g_ref, dimg_ref, *, h, w, pblk):
@@ -276,13 +274,13 @@ def _fwd_with_taps(img2d, px, py):
     shp = jax.ShapeDtypeStruct((b, p_total // 128, 128), jnp.float32)
     outs = pl.pallas_call(
         functools.partial(_fwd_taps_kernel, h=h, w=w, pblk=PBLK),
-        out_shape=(shp,) * 5,
+        out_shape=(shp,) * 3,
         grid=(b, nblk),
         in_specs=[img_spec, vec_spec, vec_spec],
-        out_specs=(vec_spec,) * 5,
+        out_specs=(vec_spec,) * 3,
         cost_estimate=pl.CostEstimate(
             flops=8 * b * p_total * h * w,
-            bytes_accessed=4 * b * (h * w + 8 * p_total),
+            bytes_accessed=4 * b * (h * w + 6 * p_total),
             transcendentals=0,
         ),
     )(img2d, _as_blocks(px, b, p_total), _as_blocks(py, b, p_total))
@@ -290,12 +288,12 @@ def _fwd_with_taps(img2d, px, py):
 
 
 def _vjp_fwd(img2d, px, py):
-    out, v00, v01, v10, v11 = _fwd_with_taps(img2d, px, py)
-    return out, (img2d, px, py, v00, v01, v10, v11)
+    out, dpx_base, dpy_base = _fwd_with_taps(img2d, px, py)
+    return out, (img2d, px, py, dpx_base, dpy_base)
 
 
 def _vjp_bwd(res, g):
-    img2d, px, py, v00, v01, v10, v11 = res
+    img2d, px, py, dpx_base, dpy_base = res
     b, h, w = img2d.shape
     p_total = px.shape[1]
     nblk = p_total // PBLK
@@ -312,11 +310,9 @@ def _vjp_bwd(res, g):
     )(_as_blocks(px, b, p_total), _as_blocks(py, b, p_total),
       _as_blocks(g, b, p_total))
 
-    # d/dposition: pure elementwise on the saved tap values — no kernel
-    fx = px - jnp.floor(px)
-    fy = py - jnp.floor(py)
-    dpx = g * ((1 - fy) * (v01 - v00) + fy * (v11 - v10))
-    dpy = g * ((1 - fx) * (v10 - v00) + fx * (v11 - v01))
+    # d/dposition: pure elementwise on the saved derivative bases
+    dpx = g * dpx_base
+    dpy = g * dpy_base
 
     return (dimg.astype(img2d.dtype), dpx.astype(px.dtype),
             dpy.astype(py.dtype))
