@@ -104,3 +104,14 @@ def test_classical_cli(tmp_path, oasis_tiny):
     ])
     for key in ("dice", "psnr", "mse", "hausdorff"):
         assert key in results and np.isfinite(results[key])
+
+
+def test_train3d_deform_cli(tmp_path):
+    from tpureg.cli.train_affine import main
+
+    state = main([
+        "--stage", "deform", "--synthetic", "1", "--epochs", "1",
+        "--batch_size", "1", "--volume_size", "16,32,32",
+        "--logdir", str(tmp_path / "log"),
+    ])
+    assert int(state.step) == 1

@@ -5,6 +5,7 @@ The torch oracles below re-state the reference's published formulas
 implementations fails loudly.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -135,3 +136,41 @@ def test_affloss_3d(rng):
     p, c, total = Affloss(warped, fixed)
     assert float(total) == pytest.approx(float(p) + float(c), rel=1e-6)
     assert 0.0 <= float(c) <= 2.0
+
+
+def test_smoothness_loss_3d_matches_manual():
+    """Volumetric smoothness: charbonnier of zero-padded forward diffs."""
+    from tpureg.losses import charbonnier, smoothness_loss_3d
+
+    rng = np.random.default_rng(7)
+    flow = rng.standard_normal((2, 3, 4, 5, 3)).astype(np.float32)
+
+    want = 0.0
+    for axis in (1, 2, 3):
+        shifted = np.zeros_like(flow)
+        idx = [slice(None)] * 5
+        idx[axis] = slice(1, None)
+        src = [slice(None)] * 5
+        src[axis] = slice(0, flow.shape[axis] - 1)
+        shifted[tuple(src)] = flow[tuple(idx)]
+        want = want + np.asarray(charbonnier(jnp.asarray(flow - shifted)))
+    want = want.sum(-1) / 3.0
+    want = want.sum() / flow.shape[0]
+
+    got = float(smoothness_loss_3d(jnp.asarray(flow)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_defloss3d_components():
+    from tpureg.losses import DEFloss3D
+
+    rng = np.random.default_rng(8)
+    fixed = jnp.asarray(rng.random((1, 4, 8, 8, 1)), jnp.float32)
+    warped = jnp.asarray(rng.random((1, 4, 8, 8, 1)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 3)), jnp.float32)
+    p, c, s, total = DEFloss3D(flow, warped, fixed)
+    np.testing.assert_allclose(float(total), float(p + c + s), rtol=1e-6)
+    assert float(p) > 0 and float(s) > 0
+    # perfect alignment zeroes the Pearson term
+    _, c0, _, _ = DEFloss3D(flow, fixed, fixed)
+    assert abs(float(c0)) < 1e-5

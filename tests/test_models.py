@@ -131,3 +131,32 @@ def test_flownets_non_pow2_input():
 def test_flownet_sd_non_pow2_input():
     out, _ = _run(FlowNetSD(), jnp.zeros((1, 96, 96, 2)), train=True)
     assert out[0].shape == (1, 24, 24, 2)
+
+
+def test_voxelmorph3d_identity_at_init():
+    """Tiny-variance velocity head → the initial map is ~the identity."""
+    from tpureg.models import VoxelMorph3D
+
+    key = jax.random.key(3)
+    x = jax.random.uniform(key, (1, 16, 32, 32, 2), jnp.float32)
+    mod = VoxelMorph3D()
+    variables = mod.init(KEY, x)
+    flow, warped, vel = mod.apply(variables, x)
+    assert flow.shape == (1, 16, 32, 32, 3)
+    assert warped.shape == (1, 16, 32, 32, 1)
+    assert vel.shape == (1, 8, 16, 16, 3)  # int_downsize=2
+    assert float(np.max(np.abs(np.asarray(flow)))) < 1e-2
+    np.testing.assert_allclose(
+        np.asarray(warped), np.asarray(x[..., 1:2]), atol=1e-2
+    )
+
+
+def test_voxelmorph3d_fullres_velocity():
+    from tpureg.models import VoxelMorph3D
+
+    x = jnp.zeros((1, 16, 16, 16, 2))
+    mod = VoxelMorph3D(int_downsize=1)
+    variables = mod.init(KEY, x)
+    flow, warped, vel = mod.apply(variables, x)
+    assert vel.shape == (1, 16, 16, 16, 3)
+    assert flow.shape == (1, 16, 16, 16, 3)

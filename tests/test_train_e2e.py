@@ -135,3 +135,29 @@ def test_fsdp_state_sharded_step():
     step = make_train_step(donate=False)
     new_state, m = step(sharded, imgs)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_deform3d_step_reduces_loss():
+    """Learned deformable 3-D path: VoxelMorph3D + DEFloss3D + Adam."""
+    import optax
+    from flax.training import train_state as ts
+
+    from tpureg.models import VoxelMorph3D
+    from tpureg.train.steps import make_deform3d_train_step
+
+    key = jax.random.key(0)
+    base = jax.random.uniform(key, (1, 16, 32, 32, 1), jnp.float32)
+    vols = jnp.concatenate(
+        [base, jnp.roll(base, 1, axis=2)], axis=-1
+    )  # moving = fixed shifted one voxel in H
+    model = VoxelMorph3D()
+    variables = jax.jit(model.init)(key, vols)
+    state = ts.TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=optax.adam(1e-3)
+    )
+    step = make_deform3d_train_step(donate=False)
+    state, m0 = step(state, vols)
+    for _ in range(5):
+        state, m = step(state, vols)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"])

@@ -1,11 +1,18 @@
-"""3-D affine pre-registration training CLI (the volumetric path).
+"""3-D volumetric registration training CLI (affine and deformable stages).
 
-Trains ``AffineNet3D`` with ``Affloss`` on whole-volume pairs from
-``volume_dataset`` (reference affmodel models.py:156-191 + loss.py:87-94 +
-volume_ds dataset.py:100-167; the stage the reference's train.py references
-through its affmodel import, train.py:5). Supports synthetic-volume smoke
-mode and optional spatial sharding of the volume over the device mesh
-('spatial' axis; the framework's context-parallel analogue, SURVEY.md §5).
+``--stage affine`` trains ``AffineNet3D`` with ``Affloss`` on whole-volume
+pairs from ``volume_dataset`` (reference affmodel models.py:156-191 +
+loss.py:87-94 + volume_ds dataset.py:100-167; the stage the reference's
+train.py references through its affmodel import, train.py:5).
+
+``--stage deform`` trains the learned deformable model ``VoxelMorph3D``
+with ``DEFloss3D`` — the stage past the reference, whose deformable 3-D
+registration exists only as the classical ANTs comparator
+(inference_ants.py:51-57).
+
+Both stages support synthetic-volume smoke mode and optional spatial
+sharding of the volume over the device mesh ('spatial' axis; the
+framework's context-parallel analogue, SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -19,9 +26,9 @@ import optax
 from flax.training import train_state as ts
 
 from ..data import volume_dataset
-from ..models import AffineNet3D
+from ..models import AffineNet3D, VoxelMorph3D
 from ..parallel import make_mesh, replicated, spatial_sharding
-from ..train.steps import make_affine_train_step
+from ..train.steps import make_affine_train_step, make_deform3d_train_step
 from ..utils import AverageMeter, seed_everything
 from ..utils.tb import MetricWriter
 
@@ -34,7 +41,9 @@ def synthetic_volumes(key, n_batches, batch_size, size):
 
 
 def build_argparser():
-    p = argparse.ArgumentParser(description="3-D affine pre-registration")
+    p = argparse.ArgumentParser(description="3-D volumetric registration")
+    p.add_argument("--stage", default="affine", choices=("affine", "deform"),
+                   help="affine pre-registration or learned deformable (SVF)")
     p.add_argument("--img_dir", default="OASIS1/masked")
     p.add_argument("--epochs", default=4, type=int)
     p.add_argument("--batch_size", default=2, type=int)
@@ -59,7 +68,8 @@ def main(argv=None):
     size = tuple(int(x) for x in args.volume_size.split(","))
 
     key = jax.random.key(args.seed)
-    model = AffineNet3D()
+    deform = args.stage == "deform"
+    model = VoxelMorph3D() if deform else AffineNet3D()
     sample = jnp.zeros((args.batch_size, *size, 2), jnp.float32)
     variables = jax.jit(model.init)(key, sample)
     state = ts.TrainState.create(
@@ -76,9 +86,14 @@ def main(argv=None):
         )
         state = jax.device_put(state, replicated(mesh))
 
-    train_step = make_affine_train_step(donate=False)
+    if deform:
+        train_step = make_deform3d_train_step(donate=False)
+        meter_keys = ("loss", "photo_loss", "corr_loss", "smooth_loss")
+    else:
+        train_step = make_affine_train_step(donate=False)
+        meter_keys = ("loss", "photo_loss", "corr_loss")
     writer = MetricWriter(args.logdir, flush_secs=30)
-    meters = {k: AverageMeter() for k in ("loss", "photo_loss", "corr_loss")}
+    meters = {k: AverageMeter() for k in meter_keys}
 
     for e in range(args.epochs):
         if args.synthetic:
@@ -100,14 +115,15 @@ def main(argv=None):
             state, metrics = train_step(state, vols)
             for k, m in meters.items():
                 m.update(float(metrics[k]))
+        tag = "DEFORM" if deform else "AFFINE"
         print(
-            f"[AFFINE epoch {e + 1}/{args.epochs}] loss {meters['loss'].avg:.4f} "
+            f"[{tag} epoch {e + 1}/{args.epochs}] loss {meters['loss'].avg:.4f} "
             f"photo {meters['photo_loss'].avg:.4f} "
             f"corr {meters['corr_loss'].avg:.4f}",
             flush=True,
         )
         for k, m in meters.items():
-            writer.add_scalar(f"affine_{k}", m.avg, e + 1)
+            writer.add_scalar(f"{tag.lower()}_{k}", m.avg, e + 1)
     writer.close()
     return state
 

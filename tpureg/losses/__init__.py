@@ -1,5 +1,6 @@
 from .ofe import (
     Affloss,
+    DEFloss3D,
     OFEloss,
     charbonnier,
     correlation_loss,
@@ -7,10 +8,12 @@ from .ofe import (
     photometric_loss,
     photometric_loss_3d,
     smoothness_loss,
+    smoothness_loss_3d,
 )
 
 __all__ = [
     "Affloss",
+    "DEFloss3D",
     "OFEloss",
     "charbonnier",
     "correlation_loss",
@@ -18,4 +21,5 @@ __all__ = [
     "photometric_loss",
     "photometric_loss_3d",
     "smoothness_loss",
+    "smoothness_loss_3d",
 ]

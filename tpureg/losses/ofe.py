@@ -34,9 +34,11 @@ __all__ = [
     "photometric_loss",
     "photometric_loss_3d",
     "smoothness_loss",
+    "smoothness_loss_3d",
     "correlation_loss",
     "correlation_loss_3d",
     "OFEloss",
+    "DEFloss3D",
     "Affloss",
 ]
 
@@ -130,6 +132,50 @@ def OFEloss(
     c_loss = zeta / n * c_loss
     s_loss = lamb_da / n * s_loss
     return p_loss, c_loss, s_loss, p_loss + s_loss + c_loss
+
+
+def smoothness_loss_3d(flow):
+    """Volumetric TV-style smoothness — 3-D extension of ``smoothness_loss``.
+
+    Same construction as the 2-D reference quirk (loss.py:23-30): Charbonnier
+    of zero-padded forward differences along each spatial axis, summed over
+    the three displacement components / 3, averaged over batch. Used by the
+    learned deformable 3-D path (no reference equivalent — its volumetric
+    losses stop at the affine stage, loss.py:87-94).
+    """
+    b = flow.shape[0]
+    s = 0.0
+    for axis in (1, 2, 3):
+        zeros = jnp.zeros_like(jnp.take(flow, jnp.arange(1), axis=axis))
+        shifted = jnp.concatenate(
+            [jnp.take(flow, jnp.arange(1, flow.shape[axis]), axis=axis), zeros],
+            axis=axis,
+        )
+        s = s + charbonnier(flow - shifted)
+    s = jnp.sum(s, axis=-1) / 3.0
+    return jnp.sum(s) / b
+
+
+def DEFloss3D(
+    flow: jnp.ndarray,
+    warped: jnp.ndarray,
+    fixed: jnp.ndarray,
+    lamb_da: float = 0.5,
+    gamma: float = 100.0,
+    zeta: float = 100.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Deformable 3-D registration loss → (photo, corr, smooth, total).
+
+    Single-scale volumetric analogue of ``OFEloss`` with the same λ/γ/ζ
+    defaults: Charbonnier photometric + global Pearson (reference 3-D
+    variants, loss.py:16-19,38-50) + volumetric flow smoothness. Drives the
+    learned deformable path (models/voxelmorph3d.py) — the stage beyond the
+    reference's affine-only volumetric training.
+    """
+    p_loss = gamma * photometric_loss_3d(fixed, warped)
+    c_loss = zeta * correlation_loss_3d(fixed, warped)
+    s_loss = lamb_da * smoothness_loss_3d(flow)
+    return p_loss, c_loss, s_loss, p_loss + c_loss + s_loss
 
 
 def Affloss(warped, fixed, lamb_da: float = 1.0, gamma: float = 1.0):

@@ -24,6 +24,7 @@ from .flownet_s import FlowNetS, FlowNetSFull
 from .flownet_sd import FlowNetSD
 from .pwcnet import PWCDCNet
 from .raft import RAFT
+from .voxelmorph3d import VoxelMorph3D
 
 __all__ = [
     "AffineNet3D",
@@ -41,6 +42,7 @@ __all__ = [
     "FlowNetSD",
     "PWCDCNet",
     "RAFT",
+    "VoxelMorph3D",
     "build_predictor",
 ]
 

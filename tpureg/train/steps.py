@@ -21,6 +21,7 @@ __all__ = [
     "make_train_step",
     "make_eval_step",
     "make_affine_train_step",
+    "make_deform3d_train_step",
     "loss_from_outputs",
 ]
 
@@ -118,6 +119,44 @@ def make_affine_train_step(loss_kwargs: Optional[dict] = None,
         )
         state = state.apply_gradients(grads=grads)
         return state, {"loss": total, "photo_loss": p, "corr_loss": c}
+
+    return train_step
+
+
+def make_deform3d_train_step(loss_kwargs: Optional[dict] = None,
+                             donate: bool = True):
+    """Learned deformable 3-D registration step: VoxelMorph3D + DEFloss3D.
+
+    The stage beyond the reference's affine-only volumetric training
+    (its deformable 3-D registration exists only as the classical ANTs
+    comparator, inference_ants.py:51-57). ``vols``: [B, D, H, W, 2]
+    fixed/moving. The model's SVF construction keeps the field
+    diffeomorphic; regularity is checked post-hoc with
+    ``metrics.jacobian`` on the returned flow.
+    """
+    from ..losses import DEFloss3D
+
+    loss_kwargs = loss_kwargs or {}
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state, vols):
+        fixed = vols[..., 0:1]
+
+        def loss_fn(params):
+            flow, warped, _vel = state.apply_fn({"params": params}, vols)
+            p, c, s, total = DEFloss3D(flow, warped, fixed, **loss_kwargs)
+            return total, (p, c, s)
+
+        (total, (p, c, s)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        return state, {
+            "loss": total,
+            "photo_loss": p,
+            "corr_loss": c,
+            "smooth_loss": s,
+        }
 
     return train_step
 
