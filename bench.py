@@ -45,6 +45,9 @@ def _measure(train_step, state, batches, iters: int = 30, warmup: int = 5):
 def main():
     import importlib
 
+    from tpureg.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # repeated runs skip the multi-minute compiles
     corr_mod = importlib.import_module("tpureg.ops.correlation")
     from tpureg.data import random_pair_batch
     from tpureg.reg import OpticalFlowReg

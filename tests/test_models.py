@@ -160,3 +160,19 @@ def test_voxelmorph3d_fullres_velocity():
     flow, warped, vel = mod.apply(variables, x)
     assert vel.shape == (1, 16, 16, 16, 3)
     assert flow.shape == (1, 16, 16, 16, 3)
+
+
+def test_raft_lookup_windows_matches_gather():
+    """Gather-free one-hot window lookup == 4-tap gather oracle."""
+    from tpureg.models.raft import _corr_pyramid, _lookup
+
+    key = jax.random.key(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    f1 = jax.random.normal(k1, (2, 8, 8, 16))
+    f2 = jax.random.normal(k2, (2, 8, 8, 16))
+    pyr = _corr_pyramid(f1, f2, levels=3)
+    # centers spread beyond the borders to exercise zero-padding taps
+    coords = jax.random.uniform(k3, (2, 8, 8, 2), minval=-3.0, maxval=11.0)
+    want = _lookup(pyr, coords, radius=4, use_windows=False)
+    got = _lookup(pyr, coords, radius=4, use_windows=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -161,3 +161,16 @@ def test_deform3d_step_reduces_loss():
         state, m = step(state, vols)
     assert np.isfinite(float(m["loss"]))
     assert float(m["loss"]) < float(m0["loss"])
+
+
+def test_remat_step_matches_base():
+    """Activation remat changes scheduling, not numerics."""
+    state, imgs = _setup()
+    base = make_train_step(donate=False)
+    _, m_base = base(state, imgs)
+    for mode in ("full", "dots"):
+        step = make_train_step(donate=False, remat=mode)
+        _, m = step(state, imgs)
+        np.testing.assert_allclose(
+            float(m["loss"]), float(m_base["loss"]), rtol=1e-5
+        )

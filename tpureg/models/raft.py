@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -73,24 +74,80 @@ def _corr_pyramid(f1, f2, levels: int = 4):
     return pyramid
 
 
-def _lookup(pyramid, coords, radius: int = 4):
+def _window_onehot(i0, m, size):
+    """[P, m, size] one-hot row selectors for indices i0..i0+m-1.
+
+    Out-of-range rows are all-zero (zero-padding semantics, matching the
+    independent per-tap zeroing of ops.warp.sample2d).
+    """
+    idx = i0[:, None] + jnp.arange(m, dtype=jnp.int32)[None]        # [P, m]
+    inb = (idx >= 0) & (idx <= size - 1)
+    grid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
+    oh = (jnp.clip(idx, 0, size - 1)[..., None] == grid) & inb[..., None]
+    return oh.astype(jnp.float32)
+
+
+def _lookup_windows(corr, cx, cy, radius: int):
+    """Gather-free correlation lookup: one-hot window matmuls + bilinear blend.
+
+    ``corr``: [P, hl, wl] per-source-pixel correlation maps; ``cx``/``cy``:
+    [P] float center positions. All (2r+1)² taps of one source pixel share a
+    single fractional offset, so the lookup factors into extracting a
+    (2r+2)² *integer* window — two batched one-hot contractions that XLA maps
+    onto the MXU instead of the scalar-loop gather lowering — followed by a
+    4-shift bilinear blend. Exact vs the 4-tap gather (zero out-of-bounds
+    taps). Returns [P, (2r+1)²].
+    """
+    p, hl, wl = corr.shape
+    n = 2 * radius + 1
+    m = n + 1
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = (cx - x0)[:, None, None]
+    fy = (cy - y0)[:, None, None]
+    x0i = x0.astype(jnp.int32) - radius
+    y0i = y0.astype(jnp.int32) - radius
+
+    ry = _window_onehot(y0i, m, hl)                                  # [P,m,hl]
+    cxm = _window_onehot(x0i, m, wl)                                 # [P,m,wl]
+    hi = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("pkh,phw->pkw", ry, corr, precision=hi)         # [P,m,wl]
+    win = jnp.einsum("pkw,pjw->pkj", tmp, cxm, precision=hi)         # [P,m,m]
+
+    out = (
+        (1 - fy) * (1 - fx) * win[:, : m - 1, : m - 1]
+        + (1 - fy) * fx * win[:, : m - 1, 1:]
+        + fy * (1 - fx) * win[:, 1:, : m - 1]
+        + fy * fx * win[:, 1:, 1:]
+    )
+    return out.reshape(p, n * n)
+
+
+def _lookup(pyramid, coords, radius: int = 4, use_windows: bool = True):
     """Sample correlation values around ``coords`` at every pyramid level.
 
     coords: [B, H, W, 2] absolute 1/8-res positions. Returns
-    [B, H, W, levels*(2r+1)^2].
+    [B, H, W, levels*(2r+1)^2]. ``use_windows`` selects the gather-free
+    one-hot window path (TPU fast path); the 4-tap gather (sample2d) is the
+    semantics oracle.
     """
     b, h, w, _ = coords.shape
     n = 2 * radius + 1
     outs = []
     for lvl, corr in enumerate(pyramid):
         scale = 2.0**lvl
-        centers = coords.reshape(b * h * w, 1, 1, 2) / scale
-        d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-        dy, dx = jnp.meshgrid(d, d, indexing="ij")
-        px = centers[..., 0] + dx.reshape(1, n, n)
-        py = centers[..., 1] + dy.reshape(1, n, n)
-        vals = sample2d(corr, px, py)  # [BHW, n, n, 1]
-        outs.append(vals.reshape(b, h, w, n * n))
+        if use_windows:
+            c = coords.reshape(b * h * w, 2) / scale
+            vals = _lookup_windows(corr[..., 0], c[..., 0], c[..., 1], radius)
+            outs.append(vals.reshape(b, h, w, n * n))
+        else:
+            centers = coords.reshape(b * h * w, 1, 1, 2) / scale
+            d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+            dy, dx = jnp.meshgrid(d, d, indexing="ij")
+            px = centers[..., 0] + dx.reshape(1, n, n)
+            py = centers[..., 1] + dy.reshape(1, n, n)
+            vals = sample2d(corr, px, py)  # [BHW, n, n, 1]
+            outs.append(vals.reshape(b, h, w, n * n))
     return jnp.concatenate(outs, axis=-1)
 
 

@@ -48,30 +48,51 @@ def make_train_step(
     loss_kwargs: Optional[dict] = None,
     donate: bool = True,
     compute_dtype: Optional[jnp.dtype] = None,
+    remat: Optional[str] = None,
 ):
     """Fused train step. ``compute_dtype=jnp.bfloat16`` enables TPU-native
     mixed precision: master params stay fp32 (Adam state, BN stats too — the
     BatchNorm blocks pin fp32 internally), while conv/warp activations and
     weights run in bf16. Replaces the reference's optional fp16-storage
     wrappers (flownet2/models.py:47-88, submodules.py:40-53).
+
+    ``remat`` trades recompute FLOPs for saved-activation HBM traffic
+    (jax.checkpoint over the model forward): ``'full'`` stores nothing and
+    recomputes the whole forward inside the backward; ``'dots'`` keeps
+    matmul/conv outputs and recomputes only the cheap elementwise tail
+    (checkpoint_dots policy).
     """
     loss_kwargs = loss_kwargs or {}
+    if remat not in (None, "full", "dots"):
+        raise ValueError(f"remat must be None|'full'|'dots', got {remat!r}")
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state, imgs):
+        apply_fn = state.apply_fn
+
+        def forward(params, batch_stats, imgs_c):
+            return apply_fn(
+                {"params": params, "batch_stats": batch_stats},
+                imgs_c,
+                None,
+                train=True,
+                mutable=["batch_stats"],
+            )
+
+        if remat == "full":
+            forward = jax.checkpoint(forward)
+        elif remat == "dots":
+            forward = jax.checkpoint(
+                forward, policy=jax.checkpoint_policies.checkpoint_dots
+            )
+
         def loss_fn(params):
             if compute_dtype is not None:
                 params = _cast_floats(params, compute_dtype)
                 imgs_c = imgs.astype(compute_dtype)
             else:
                 imgs_c = imgs
-            outputs, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                imgs_c,
-                None,
-                train=True,
-                mutable=["batch_stats"],
-            )
+            outputs, mutated = forward(params, state.batch_stats, imgs_c)
             new_stats = _cast_floats(mutated["batch_stats"], jnp.float32)
             p, c, s, total = loss_from_outputs(outputs, imgs, loss_kwargs)
             return total, (p, c, s, new_stats)
