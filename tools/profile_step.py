@@ -86,7 +86,7 @@ def main():
 
         def sub(mod, cin, label):
             x = jax.random.normal(jax.random.key(1), (b, s, s, cin))
-            v = jax.jit(mod.init)(key, x, train=True)
+            v = jax.jit(lambda k, x: mod.init(k, x, train=True))(key, x)
 
             def fwd(params, x):
                 out = mod.apply(

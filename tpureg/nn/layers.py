@@ -154,13 +154,24 @@ class TorchConvTranspose(nn.Module):
         return y
 
 
-def _batch_norm(train: bool) -> nn.BatchNorm:
-    """torch-default BatchNorm over NHW (per-channel)."""
+def _batch_norm(train: bool, dtype=None) -> nn.BatchNorm:
+    """torch-default BatchNorm over NHW (per-channel).
+
+    ``dtype=None`` follows flax promotion: fp32 params + fp32 input → fp32
+    (the reference-parity default), while under bf16 mixed precision (params
+    and activations cast by the train step) the BN boundary computes and
+    stores bf16 — halving the HBM traffic the step profile showed the
+    high-resolution subnets (FlowNetFusion/FlowNetC) are bound by. The batch
+    statistics are always accumulated in fp32 internally by flax, and the
+    running stats stay fp32 (their variables are initialized fp32 and the
+    train step re-pins them).
+    """
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=0.9,
         epsilon=1e-5,
-        dtype=jnp.float32,
+        dtype=dtype,
+        param_dtype=jnp.float32,
         name="bn",
     )
 
@@ -193,7 +204,7 @@ class ConvBlock(nn.Module):
             name="conv",
         )(x)
         if self.use_bn:
-            y = _batch_norm(train)(y)
+            y = _batch_norm(train, self.dtype)(y)
         return nn.leaky_relu(y, 0.1)
 
 
@@ -224,7 +235,7 @@ class IConvBlock(nn.Module):
             name="conv",
         )(x)
         if self.use_bn:
-            y = _batch_norm(train)(y)
+            y = _batch_norm(train, self.dtype)(y)
         return y
 
 
