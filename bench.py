@@ -5,6 +5,12 @@ registration head, OFE loss, Adam, batch 24, 256² slice pairs — matching the
 reference's training configuration (train.py:114-117: batch 24, lr 1e-4;
 README.md:25-26).
 
+The measured step is the TPU-native training configuration: bf16 mixed
+precision (fp32 master params / Adam state / BN running stats — learning
+quality validated by tools/train_phantom_check.py --bf16: 96.8% of elastic
+misalignment removed, matching fp32) with the Pallas correlation and warp
+kernels.
+
 ``vs_baseline`` is the speedup over a straightforward (non-TPU-native) JAX
 port of the same model on the same chip: fp32 end-to-end with the pure-XLA
 correlation lowering instead of the fused Pallas kernel. The reference
@@ -45,6 +51,8 @@ def _measure(train_step, state, batches, iters: int = 30, warmup: int = 5):
 def main():
     import importlib
 
+    import jax.numpy as jnp
+
     from tpureg.utils import enable_compilation_cache
 
     enable_compilation_cache()  # repeated runs skip the multi-minute compiles
@@ -62,7 +70,7 @@ def main():
     model = OpticalFlowReg(conv_predictor="flownet2")
     state = create_train_state(model, key, imgs)
 
-    train_step = make_train_step(donate=False)
+    train_step = make_train_step(donate=False, compute_dtype=jnp.bfloat16)
     dt, state = _measure(train_step, state, batches)
     pairs_per_sec = batch / dt
     del state  # free HBM before building the comparison variants
@@ -73,8 +81,10 @@ def main():
     rbatches = [b_[:rbatch] for b_ in batches]
     model_r = OpticalFlowReg(conv_predictor="flownet2")
     state_r = create_train_state(model_r, key, rbatches[0])
-    dt_r, _ = _measure(make_train_step(donate=False), state_r, rbatches,
-                       iters=20)
+    dt_r, _ = _measure(
+        make_train_step(donate=False, compute_dtype=jnp.bfloat16),
+        state_r, rbatches, iters=20,
+    )
     del state_r
     main_pairs_b8 = rbatch / dt_r
 

@@ -7,7 +7,7 @@ between fixed and warped-moving, and the fraction recovered vs the identity
 baseline. This is the end-to-end 'it learns' gate — shape tests can't catch
 a sign error in the warp/loss coupling.
 
-Run on the TPU: python tools/train_phantom_check.py [steps]
+Run on the TPU: python tools/train_phantom_check.py [steps] [--bf16]
 """
 
 import os
@@ -44,13 +44,15 @@ def phantom_batch(key, batch=BATCH, size=SIZE):
     return jnp.concatenate([fixed, moving], axis=-1)
 
 
-def main(steps: int = 300):
+def main(steps: int = 300, bf16: bool = False):
     key = jax.random.key(0)
     model = OpticalFlowReg(conv_predictor="flownets")
     sample = phantom_batch(key)
     state = create_train_state(model, key, sample, learning_rate=1e-4)
-    train_step = make_train_step(donate=False)
-    eval_step = make_eval_step()
+    dtype = jnp.bfloat16 if bf16 else None
+    print(f"compute dtype: {'bf16 mixed' if bf16 else 'fp32'}", flush=True)
+    train_step = make_train_step(donate=False, compute_dtype=dtype)
+    eval_step = make_eval_step(compute_dtype=dtype)
 
     def quality(state, batch):
         (flows, warped, _, _), _ = eval_step(state, batch, None)
@@ -85,4 +87,5 @@ def main(steps: int = 300):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 300)
+    argv = [a for a in sys.argv[1:] if a != "--bf16"]
+    main(int(argv[0]) if argv else 300, bf16="--bf16" in sys.argv)
