@@ -85,6 +85,23 @@ def main():
         print(f"  f+b: gather {t_gg:7.2f} ms | pallas {t_pg:7.2f} ms "
               f"({t_gg/t_pg:.1f}x)")
 
+        # bf16-image path: the lo residual is statically dropped (half the
+        # MXU work); must be EXACT vs the gather warp of the same bf16 image
+        img16 = img2d.astype(jnp.bfloat16)
+        pallas16 = jax.jit(lambda im, a_, b_: warp2d_pallas(im, a_, b_)
+                           .reshape(b, h, w, 1))
+        # oracle: gather the SAME bf16-valued image in fp32 (the gather path
+        # would round its output back to bf16; the kernel keeps fp32)
+        a16 = gather(img16.astype(jnp.float32)[..., None], flow)
+        b16 = pallas16(img16, px, py)
+        ok &= check(f"fwd bf16-img {b}x{h}x{w}x{c}", b16, a16, 1e-5)
+        pg16 = jax.jit(jax.grad(
+            lambda a_: jnp.sum(warp2d_pallas(img16, a_, py) ** 2)))
+        t_p16 = timeit(pallas16, img16, px, py)
+        t_pg16 = timeit(pg16, px)
+        print(f"  bf16-img: fwd {t_p16:7.2f} ms | f+b {t_pg16:7.2f} ms "
+              f"(fp32: {t_p:.2f} / {t_pg:.2f})")
+
     raise SystemExit(0 if ok else 1)
 
 

@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--variants-only", action="store_true")
     ap.add_argument("--components-only", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="profile components at bf16 compute (params+inputs "
+                         "cast, as the mixed-precision train step does)")
     args = ap.parse_args()
 
     from tpureg.utils import enable_compilation_cache
@@ -84,14 +87,22 @@ def main():
         from tpureg.ops.warp import warp2d
         from tpureg.train.steps import loss_from_outputs
 
+        cdt = jnp.bfloat16 if args.bf16 else jnp.float32
+
+        def cast(t):
+            return jax.tree.map(
+                lambda a: a.astype(cdt)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a, t)
+
         def sub(mod, cin, label):
             x = jax.random.normal(jax.random.key(1), (b, s, s, cin))
             v = jax.jit(lambda k, x: mod.init(k, x, train=True))(key, x)
 
             def fwd(params, x):
                 out = mod.apply(
-                    {"params": params, "batch_stats": v["batch_stats"]},
-                    x, train=True, mutable=["batch_stats"],
+                    {"params": cast(params), "batch_stats": v["batch_stats"]},
+                    cast(x), train=True, mutable=["batch_stats"],
                 )[0]
                 return jax.tree.leaves(out)
 
@@ -104,14 +115,14 @@ def main():
         sub(FlowNetSD(use_bn=True), 2, "FlowNetSD")
         sub(FlowNetFusion(use_bn=True), 9, "FlowNetFusion")
 
-        flow = jax.random.normal(jax.random.key(2), (b, s, s, 2))
-        x2 = imgs[..., 1:2]
+        flow = jax.random.normal(jax.random.key(2), (b, s, s, 2)).astype(cdt)
+        x2 = imgs[..., 1:2].astype(cdt)
         bench("warp2d pixel fwd", lambda i, f: warp2d(i, f, "pixel"), x2, flow)
         grad_bench("warp2d pixel fwd+bwd", lambda i, f: (warp2d(i, f, "pixel"),),
                    x2, flow)
 
-        f1 = jax.random.normal(jax.random.key(3), (b, s // 8, s // 8, 256))
-        f2 = jax.random.normal(jax.random.key(4), (b, s // 8, s // 8, 256))
+        f1 = jax.random.normal(jax.random.key(3), (b, s // 8, s // 8, 256)).astype(cdt)
+        f2 = jax.random.normal(jax.random.key(4), (b, s // 8, s // 8, 256)).astype(cdt)
         bench("correlation 441ch fwd", lambda a, c: correlation(a, c, 20, 2),
               f1, f2)
         grad_bench("correlation 441ch fwd+bwd",

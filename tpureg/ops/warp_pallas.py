@@ -75,8 +75,17 @@ def _col_weight(x0i, wx0, wx1, w):
     return c0 * wx0[:, None] + c1 * wx1[:, None]
 
 
-def _split(img):
+def _split(img, with_lo: bool = True):
+    """bf16 hi/lo decomposition of an fp32 image (``img == hi + lo``).
+
+    ``with_lo=False`` statically drops the residual: used when the incoming
+    image is already bf16 (the mixed-precision cascade), where ``hi`` is an
+    exact round-trip and the lo matmuls would multiply exact zeros — halving
+    the kernel's MXU work with no precision change.
+    """
     hi = img.astype(jnp.bfloat16)
+    if not with_lo:
+        return hi, None
     lo = (img - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
 
@@ -86,13 +95,15 @@ def _rowsel(r, img_hi, img_lo):
     dn = (((1,), (0,)), ((), ()))
     a = jax.lax.dot_general(r, img_hi, dn,
                             preferred_element_type=jnp.float32)
+    if img_lo is None:
+        return a
     b = jax.lax.dot_general(r, img_lo, dn,
                             preferred_element_type=jnp.float32)
     return a + b
 
 
-def _fwd_kernel(img_ref, px_ref, py_ref, out_ref, *, h, w, pblk):
-    img_hi, img_lo = _split(img_ref[0].astype(jnp.float32))
+def _fwd_kernel(img_ref, px_ref, py_ref, out_ref, *, h, w, pblk, lo=True):
+    img_hi, img_lo = _split(img_ref[0].astype(jnp.float32), lo)
     px = px_ref[0].reshape(pblk)
     py = py_ref[0].reshape(pblk)
     x0i, y0i, wx0, wx1, wy0, wy1 = _tap_weights(px, py, h, w)
@@ -104,7 +115,7 @@ def _fwd_kernel(img_ref, px_ref, py_ref, out_ref, *, h, w, pblk):
 
 
 def _fwd_taps_kernel(img_ref, px_ref, py_ref, out_ref, dpx_ref, dpy_ref,
-                     *, h, w, pblk):
+                     *, h, w, pblk, lo=True):
     """Forward + the two analytic position-derivative bases.
 
     The bilinear derivative collapses onto the tensors the forward already
@@ -113,7 +124,7 @@ def _fwd_taps_kernel(img_ref, px_ref, py_ref, out_ref, dpx_ref, dpy_ref,
     so d/dposition costs two extra column reduces here and the backward is a
     pure elementwise multiply by the output cotangent.
     """
-    img_hi, img_lo = _split(img_ref[0].astype(jnp.float32))
+    img_hi, img_lo = _split(img_ref[0].astype(jnp.float32), lo)
     px = px_ref[0].reshape(pblk)
     py = py_ref[0].reshape(pblk)
     x0i, y0i, wx0, wx1, wy0, wy1 = _tap_weights(px, py, h, w)
@@ -170,8 +181,8 @@ def _dimg_kernel(px_ref, py_ref, g_ref, dimg_ref, *, h, w, pblk):
 
 
 def _dpos_kernel(img_ref, px_ref, py_ref, g_ref, dpx_ref, dpy_ref, *, h, w,
-                 pblk):
-    img_hi, img_lo = _split(img_ref[0].astype(jnp.float32))
+                 pblk, lo=True):
+    img_hi, img_lo = _split(img_ref[0].astype(jnp.float32), lo)
     px = px_ref[0].reshape(pblk)
     py = py_ref[0].reshape(pblk)
     x0 = jnp.floor(px)
@@ -235,6 +246,12 @@ def _as_blocks(v, b, p_total):
     return v.reshape(b, p_total // 128, 128)
 
 
+def _needs_lo(img2d) -> bool:
+    """The lo-residual matmuls are only needed when bf16 can't represent the
+    image exactly (trace-time static — bf16 inputs skip half the MXU work)."""
+    return img2d.dtype != jnp.bfloat16
+
+
 def _fwd(img2d, px, py):
     """img2d [B,H,W]; px/py [B,P] absolute positions → [B,P] fp32."""
     b, h, w = img2d.shape
@@ -242,7 +259,8 @@ def _fwd(img2d, px, py):
     nblk = p_total // PBLK
     img_spec, vec_spec = _specs(h, w)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, h=h, w=w, pblk=PBLK),
+        functools.partial(_fwd_kernel, h=h, w=w, pblk=PBLK,
+                          lo=_needs_lo(img2d)),
         out_shape=jax.ShapeDtypeStruct((b, p_total // 128, 128), jnp.float32),
         grid=(b, nblk),
         in_specs=[img_spec, vec_spec, vec_spec],
@@ -273,7 +291,8 @@ def _fwd_with_taps(img2d, px, py):
     img_spec, vec_spec = _specs(h, w)
     shp = jax.ShapeDtypeStruct((b, p_total // 128, 128), jnp.float32)
     outs = pl.pallas_call(
-        functools.partial(_fwd_taps_kernel, h=h, w=w, pblk=PBLK),
+        functools.partial(_fwd_taps_kernel, h=h, w=w, pblk=PBLK,
+                          lo=_needs_lo(img2d)),
         out_shape=(shp,) * 3,
         grid=(b, nblk),
         in_specs=[img_spec, vec_spec, vec_spec],
