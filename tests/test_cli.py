@@ -115,3 +115,48 @@ def test_train3d_deform_cli(tmp_path):
         "--logdir", str(tmp_path / "log"),
     ])
     assert int(state.step) == 1
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """Serving export: artifact == live apply, no model code needed to run."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpureg.cli.export import main
+    from tpureg.serving import load_artifact
+
+    out = str(tmp_path / "model.shlo")
+    main([
+        "--model", "flownets", "--random_weights", "--out", out,
+        "--batch_size", "1", "--image_size", "64", "--check",
+    ])
+    assert os.path.getsize(out) > 0
+
+    f = load_artifact(out)
+    imgs = np.asarray(
+        jax.random.uniform(jax.random.key(1), (1, 64, 64, 2), jnp.float32)
+    )
+    flows, warped, segs_none, grid = f(imgs)
+    assert flows[0].shape == (1, 64, 64, 2)
+    assert warped[0].shape == (1, 64, 64, 1)
+    assert grid.shape == (1, 64, 64, 1)
+
+
+def test_export_with_segs_signature(tmp_path):
+    from tpureg.cli.export import main
+    from tpureg.serving import load_artifact
+
+    out = str(tmp_path / "model_segs.shlo")
+    main([
+        "--model", "flownets", "--random_weights", "--out", out,
+        "--batch_size", "1", "--image_size", "64", "--with_segs",
+    ])
+    f = load_artifact(out)
+    rng = np.random.default_rng(0)
+    imgs = rng.random((1, 64, 64, 2), dtype=np.float32)
+    segs = rng.integers(0, 4, (1, 64, 64, 2)).astype(np.float32)
+    flows, warped, warped_segs, grid = f(imgs, segs)
+    ws = np.asarray(warped_segs)
+    assert ws.shape == (1, 64, 64, 1)
+    assert float(ws.min()) >= 0.0 and float(ws.max()) <= 3.0
+    assert np.allclose(ws, np.rint(ws))  # integer labels
