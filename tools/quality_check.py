@@ -1,0 +1,132 @@
+"""Registration-quality gate: deep model vs classical SyN vs identity (Dice).
+
+The BASELINE.json north star asks for Dice parity with the classical (ANTs
+SyN) comparator path. OASIS data is not available in this environment, so
+this gate constructs the comparison on synthetic smooth-anatomy phantoms
+with 3-label segmentations (intensity terciles) and elastic-deformed moving
+pairs at the *eval* magnitude range (0.5, 1.0) — the same synthesis family
+as the reference's Rand2DElastic eval config (dataset.py:198).
+
+Pipeline: train FlowNetS self-supervised on the phantom family, then report
+per-method Dice (labels {1,2,3}, reference utils.py:72-91 semantics) of
+warped-moving-seg vs fixed-seg:
+
+- identity          (no registration — the floor)
+- classical SyN     (reference comparator config: SyNOnly, iters (10,0,0))
+- classical SyN+    (multi-resolution (30,20,10) — the stronger setting)
+- deep (FlowNetS)   (the trained model's flow0 + nearest label warp)
+
+Run on the TPU:  timeout 580 python tools/quality_check.py [train_steps]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpureg.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+from tpureg.classical.syn import apply_flow, register_syn
+from tpureg.metrics.seg import dice_average
+from tpureg.ops.elastic import rand_elastic_2d
+from tpureg.reg import OpticalFlowReg
+from tpureg.train import create_train_state, make_eval_step, make_train_step
+
+SIZE = 256
+EVAL_B = 8
+TRAIN_B = 16
+
+
+def phantom(key, batch, size):
+    """Smooth random anatomy in [0,1] + tercile segmentation (labels 0..3)."""
+    coarse = jax.random.uniform(key, (batch, size // 16, size // 16, 1))
+    img = jnp.clip(jax.image.resize(coarse, (batch, size, size, 1), "bicubic"),
+                   0.0, 1.0)
+    q = jnp.quantile(img.reshape(batch, -1), jnp.asarray([0.25, 0.5, 0.75]),
+                     axis=1).T  # [B, 3]
+    seg = (
+        (img > q[:, 0, None, None, None]).astype(jnp.int32)
+        + (img > q[:, 1, None, None, None])
+        + (img > q[:, 2, None, None, None])
+    )
+    return img, seg.astype(jnp.float32)
+
+
+def make_pairs(key, batch, size, magnitude=(0.5, 1.0)):
+    k1, k2 = jax.random.split(key)
+    fixed, fixed_seg = phantom(k1, batch, size)
+    moving, moving_seg = rand_elastic_2d(k2, fixed, fixed_seg,
+                                         magnitude_range=magnitude)
+    imgs = jnp.concatenate([fixed, moving], axis=-1)
+    segs = jnp.concatenate([fixed_seg, moving_seg], axis=-1)
+    return imgs, segs
+
+
+def dice_batch(warped_seg, fixed_seg):
+    scores = [
+        dice_average(np.asarray(fixed_seg[i, ..., 0]),
+                     np.asarray(warped_seg[i, ..., 0]))
+        for i in range(fixed_seg.shape[0])
+    ]
+    return float(np.mean(scores))
+
+
+def main(train_steps: int = 400):
+    key = jax.random.key(0)
+    model = OpticalFlowReg(conv_predictor="flownets")
+    sample, _ = make_pairs(key, TRAIN_B, SIZE, magnitude=(0.0, 0.5))
+    state = create_train_state(model, key, sample, learning_rate=1e-4)
+    train_step = make_train_step(donate=False, compute_dtype=jnp.bfloat16)
+    eval_step = make_eval_step(compute_dtype=jnp.bfloat16)
+
+    print(f"training FlowNetS on phantoms: {train_steps} steps "
+          f"(b{TRAIN_B} {SIZE}², bf16)", flush=True)
+    t0 = time.time()
+    for i in range(train_steps):
+        key, k = jax.random.split(key)
+        imgs, _ = make_pairs(k, TRAIN_B, SIZE, magnitude=(0.0, 0.5))
+        state, m = train_step(state, imgs)
+    print(f"trained in {time.time()-t0:.0f}s (final loss "
+          f"{float(m['loss']):.1f})", flush=True)
+
+    imgs, segs = make_pairs(jax.random.key(777), EVAL_B, SIZE)
+    fixed_seg = segs[..., 0:1]
+    moving_seg = segs[..., 1:2]
+    fixed = imgs[..., 0:1]
+    moving = imgs[..., 1:2]
+
+    results = {"identity": dice_batch(moving_seg, fixed_seg)}
+
+    # classical comparator, reference config (inference_ants.py:51-52)
+    for name, iters in (("syn(10,0,0)", (10, 0, 0)),
+                        ("syn(30,20,10)", (30, 20, 10))):
+        t0 = time.time()
+        flow, _ = jax.jit(
+            lambda f, mv: register_syn(f, mv, reg_iterations=iters)
+        )(fixed, moving)
+        warped_seg = apply_flow(moving_seg, flow, "nearest")
+        results[name] = dice_batch(warped_seg, fixed_seg)
+        print(f"{name}: {time.time()-t0:.0f}s", flush=True)
+
+    # deep path: eval step returns the head's rounded warped segs
+    (flows, _, warped_segs_int, _), _ = eval_step(state, imgs, segs)
+    results["deep(flownets)"] = dice_batch(warped_segs_int, fixed_seg)
+
+    print("\nDice (labels 1-3) vs fixed seg, elastic eval magnitude (0.5, 1.0):")
+    for name, v in results.items():
+        print(f"  {name:15s} {v:.4f}")
+    ok = results["deep(flownets)"] >= results["syn(10,0,0)"]
+    print("QUALITY CHECK:",
+          "PASS (deep >= classical comparator)" if ok else "FAIL")
+    raise SystemExit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 400)
