@@ -63,8 +63,17 @@ def correlation_reference(f1, f2, max_displacement: int, stride2: int = 1):
 
 
 def correlation(f1, f2, max_displacement: int, stride2: int = 1):
-    """Correlation cost volume, fused Pallas kernel on TPU, jnp elsewhere."""
-    if jax.default_backend() == "tpu":
+    """Correlation cost volume, fused Pallas kernel on TPU, jnp elsewhere.
+
+    ``TPUREG_PORTABLE_OPS=1`` forces the pure-XLA reference lowering even on
+    TPU — used when tracing multi-platform serving artifacts, where a
+    TPU-only Pallas custom call cannot appear in the CPU branch
+    (serving/export.py).
+    """
+    import os
+
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("TPUREG_PORTABLE_OPS")):
         from .correlation_pallas import correlation_pallas
 
         return correlation_pallas(f1, f2, max_displacement, stride2)

@@ -61,7 +61,8 @@ def sample2d(img, px, py):
     b, h, w, c = img.shape
     p_total = int(px.shape[1] * px.shape[2]) if px.ndim == 3 else 0
     if (p_total and jax.default_backend() == "tpu"
-            and not os.environ.get("TPUREG_NO_PALLAS_WARP")):
+            and not os.environ.get("TPUREG_NO_PALLAS_WARP")
+            and not os.environ.get("TPUREG_PORTABLE_OPS")):
         from .warp_pallas import supported, warp2d_pallas
 
         if supported(img.shape, p_total):

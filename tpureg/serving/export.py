@@ -41,9 +41,19 @@ def export_registration(
     Returns a ``jax.export.Exported``; use :func:`save_artifact` /
     ``.serialize()`` to persist. ``platforms`` defaults to the current
     backend; pass ``("tpu", "cpu")`` for a multi-platform artifact.
+
+    Multi-platform artifacts are traced with ``TPUREG_PORTABLE_OPS=1``: a
+    TPU-only Pallas custom call cannot appear in the non-TPU branches, so
+    the portable pure-XLA op lowerings are baked in instead (slightly
+    slower on TPU; single-platform TPU artifacts keep the Pallas kernels).
     """
+    import os
+
     spec = jax.ShapeDtypeStruct((batch_size, image_size, image_size, 2),
                                 dtype)
+    portable = bool(
+        platforms and set(platforms) - {jax.default_backend()}
+    )
 
     if with_segs:
 
@@ -58,7 +68,18 @@ def export_registration(
 
         args = (spec,)
 
-    exp = jexport.export(jax.jit(forward), platforms=platforms)(*args)
+    if portable:
+        prev = os.environ.get("TPUREG_PORTABLE_OPS")
+        os.environ["TPUREG_PORTABLE_OPS"] = "1"
+        try:
+            exp = jexport.export(jax.jit(forward), platforms=platforms)(*args)
+        finally:
+            if prev is None:
+                os.environ.pop("TPUREG_PORTABLE_OPS", None)
+            else:
+                os.environ["TPUREG_PORTABLE_OPS"] = prev
+    else:
+        exp = jexport.export(jax.jit(forward), platforms=platforms)(*args)
     return exp
 
 
