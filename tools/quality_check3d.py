@@ -46,7 +46,7 @@ EVAL_B = 4
 def phantom3d(key, batch, shape):
     d, h, w = shape
     coarse = jax.random.uniform(key, (batch, d // 8, h // 8, w // 8, 1))
-    img = jnp.clip(resize_nd(coarse, shape, "cubic"), 0.0, 1.0)
+    img = jnp.clip(resize_nd(coarse, shape, "linear"), 0.0, 1.0)
     q = jnp.quantile(img.reshape(batch, -1), jnp.asarray([0.25, 0.5, 0.75]),
                      axis=1).T
     seg = (
@@ -60,7 +60,7 @@ def phantom3d(key, batch, shape):
 def rand_smooth_flow3d(key, batch, shape, magnitude):
     d, h, w = shape
     coarse = jax.random.normal(key, (batch, d // 8, h // 8, w // 8, 3))
-    return resize_nd(coarse, shape, "cubic") * magnitude
+    return resize_nd(coarse, shape, "linear") * magnitude
 
 
 def make_pairs(key, batch, shape, magnitude):
