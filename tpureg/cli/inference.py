@@ -135,6 +135,8 @@ def build_argparser():
     p.add_argument("--seed", default=8, type=int)
     p.add_argument("--max_samples", default=0, type=int,
                    help="stop after N samples (0 = all)")
+    p.add_argument("--precision", default="fp32", choices=("fp32", "bf16"),
+                   help="bf16 = mixed-precision eval (fp32 weights cast)")
     return p
 
 
@@ -168,7 +170,11 @@ def main(argv=None):
         )
 
     writer = MetricWriter(args.logdir, flush_secs=30)
-    eval_step = make_eval_step()
+    import jax.numpy as jnp
+
+    eval_step = make_eval_step(
+        compute_dtype=jnp.bfloat16 if args.precision == "bf16" else None
+    )
     print("=================\n EVAL start\n=================", flush=True)
     results = evaluate(state, eval_step, prefetch_to_device(iter(loader)),
                        writer, length, args.batch_size, args.max_samples)

@@ -25,10 +25,10 @@ fp32 exactness: the one-hot matmul is exact for bf16-representable values;
 img is split hi/lo (``img = hi + lo`` with bf16 hi) and both passes
 accumulate in fp32, so results match the reference gather warp to ~1e-6.
 
-Backward: custom VJP, both cotangents as Pallas kernels — d/dimg is the
-transposed one-hot matmul accumulated across output blocks (grid
-revisiting); d/dposition recomputes tap values in-kernel and applies the
-analytic bilinear derivative.
+Backward: custom VJP — d/dimg is a Pallas kernel (the transposed one-hot
+matmul accumulated across output blocks via grid revisiting); d/dposition
+is a pure elementwise multiply of the output cotangent with the two
+analytic derivative bases the forward-with-taps kernel already produces.
 """
 
 from __future__ import annotations
@@ -178,44 +178,6 @@ def _dimg_kernel(px_ref, py_ref, g_ref, dimg_ref, *, h, w, pblk):
     d1 = jax.lax.dot_general(r1t, darow, dn,
                              preferred_element_type=jnp.float32)
     dimg_ref[0] = dimg_ref[0] + d0 + d1
-
-
-def _dpos_kernel(img_ref, px_ref, py_ref, g_ref, dpx_ref, dpy_ref, *, h, w,
-                 pblk, lo=True):
-    img_hi, img_lo = _split(img_ref[0].astype(jnp.float32), lo)
-    px = px_ref[0].reshape(pblk)
-    py = py_ref[0].reshape(pblk)
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
-    fx = px - x0
-    fy = py - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    my0 = _bounds(y0i, 0, h - 1).astype(jnp.float32)
-    my1 = _bounds(y0i + 1, 0, h - 1).astype(jnp.float32)
-    mx0 = _bounds(x0i, 0, w - 1).astype(jnp.float32)
-    mx1 = _bounds(x0i + 1, 0, w - 1).astype(jnp.float32)
-
-    a0 = _rowsel(_row_onehot(y0i, h), img_hi, img_lo)      # (P, W)
-    a1 = _rowsel(_row_onehot(y0i + 1, h), img_hi, img_lo)
-
-    p = x0i.shape[0]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1)
-    c0 = (jnp.clip(x0i, 0, w - 1)[:, None] == cols).astype(jnp.float32)
-    c1 = (jnp.clip(x0i + 1, 0, w - 1)[:, None] == cols).astype(jnp.float32)
-
-    # masked tap values: fold BOTH axis masks in, so the weight-derivative
-    # formulas below only need the fractional parts
-    v00 = jnp.sum(a0 * c0, axis=1) * mx0 * my0
-    v01 = jnp.sum(a0 * c1, axis=1) * mx1 * my0
-    v10 = jnp.sum(a1 * c0, axis=1) * mx0 * my1
-    v11 = jnp.sum(a1 * c1, axis=1) * mx1 * my1
-
-    g = g_ref[0].reshape(pblk).astype(jnp.float32) + 0.0 * px
-    dpx = g * ((1 - fy) * (v01 - v00) + fy * (v11 - v10))
-    dpy = g * ((1 - fx) * (v10 - v00) + fx * (v11 - v01))
-    dpx_ref[0] = dpx.reshape(dpx_ref.shape[1:])
-    dpy_ref[0] = dpy.reshape(dpy_ref.shape[1:])
 
 
 PBLK = 1024  # 8 sublanes × 128 lanes per position block
