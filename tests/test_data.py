@@ -104,3 +104,39 @@ def test_volume2slices_batches(oasis_dir):
     assert set(segs.tolist()) <= {0.0, 1.0, 2.0, 3.0}
     # fixed channel differs from synthesized moving channel
     assert np.abs(x[..., 0] - x[..., 1]).max() > 1e-3
+
+
+def test_volume2slices_process_sharding(oasis_dir):
+    """Multi-host input split: disjoint round-robin train shards that cover
+    the full volume list; val/test unsharded; distinct per-process RNG."""
+    from tpureg.data import volume2slices_datasets
+
+    img_dir, seg_dir = oasis_dir
+    full, _, _, _, _ = volume2slices_datasets(
+        img_dir, seg_dir, batch_size=4, val_frac=0.0, test_frac=0.0,
+        process_index=0, process_count=1,
+    )
+    shards = [
+        volume2slices_datasets(
+            img_dir, seg_dir, batch_size=4, val_frac=0.0, test_frac=0.0,
+            process_index=i, process_count=2,
+        )
+        for i in range(2)
+    ]
+    full_items = {it["image"] for it in full.source.items}
+    shard_items = [
+        {it["image"] for it in s[0].source.items} for s in shards
+    ]
+    assert shard_items[0] | shard_items[1] == full_items
+    assert not (shard_items[0] & shard_items[1])
+    # val/test unsharded: same on every process
+    assert len(shards[0][1]) == len(shards[1][1])
+    # distinct augmentation keys per process
+    import numpy as np
+
+    import jax
+
+    assert not np.array_equal(
+        np.asarray(jax.random.key_data(shards[0][0].key)),
+        np.asarray(jax.random.key_data(shards[1][0].key)),
+    )

@@ -258,13 +258,30 @@ def volume2slices_datasets(
     seed: int = 6,
     limit: Optional[int] = 10,
     shuffle_train: bool = False,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
 ):
-    """(train, val, test, train_len, val_len) — reference dataset.py:30-97."""
+    """(train, val, test, train_len, val_len) — reference dataset.py:30-97.
+
+    Multi-host: the *training* volume list is sharded round-robin across
+    processes (defaults to ``jax.process_index()/count()``) so each host
+    decodes and augments only its slice of the corpus — the standard
+    per-process input-pipeline split for data-parallel training over DCN.
+    Each process also folds its index into the augmentation RNG so shards
+    draw distinct elastic deformations. Val/test stay unsharded (evaluation
+    semantics match the single-process reference).
+    """
     items = list_pairs(data_dir, seg_dir)
     train_v, val_v, test_v = split_volumes(items, val_frac, test_frac, seed,
                                            limit)
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if pc > 1 and train_v:
+        train_v = train_v[pi::pc] or [train_v[pi % len(train_v)]]
     key = jax.random.key(seed)
     kt, kv, ks = jax.random.split(key, 3)
+    if pc > 1:
+        kt = jax.random.fold_in(kt, pi)
     mk = lambda vols, k, shuf: SliceDataset(
         VolumeSliceSource(vols), batch_size, k, (0.0, 0.5), 256, shuf
     )
