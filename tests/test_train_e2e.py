@@ -174,3 +174,32 @@ def test_remat_step_matches_base():
         np.testing.assert_allclose(
             float(m["loss"]), float(m_base["loss"]), rtol=1e-5
         )
+
+
+def test_grad_accumulation_step():
+    """accum_steps=2 runs the scan path: finite, near the full-batch loss
+    (photometric/smoothness decompose exactly over microbatches; the global
+    Pearson term only approximately), and still learns."""
+    state, imgs = _setup(batch=4)
+    step1 = make_train_step(donate=False)
+    stepA = make_train_step(donate=False, accum_steps=2)
+
+    _, m1 = step1(state, imgs)
+    stateA, mA = stepA(state, imgs)
+    l1, lA = float(m1["loss"]), float(mA["loss"])
+    assert np.isfinite(lA)
+    assert abs(l1 - lA) / l1 < 0.1
+    # a few accumulated steps reduce the loss
+    st = stateA
+    for _ in range(3):
+        st, m = stepA(st, imgs)
+    assert float(m["loss"]) < lA
+
+
+def test_grad_accumulation_batch_divisibility():
+    import pytest
+
+    state, imgs = _setup(batch=3)
+    step = make_train_step(donate=False, accum_steps=2)
+    with pytest.raises(ValueError):
+        step(state, imgs)

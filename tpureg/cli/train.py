@@ -124,6 +124,10 @@ def build_argparser():
     p.add_argument("--limit_volumes", default=10, type=int)
     p.add_argument("--precision", default="fp32", choices=("fp32", "bf16"),
                    help="bf16 = mixed precision (fp32 master params/BN)")
+    p.add_argument("--accum_steps", default=1, type=int,
+                   help="gradient-accumulation microbatches per step "
+                        "(batch_size must divide; effective batch beyond "
+                        "per-chip HBM)")
     p.add_argument("--lr_step", default=0, type=int,
                    help="StepLR period in steps (reference defines "
                         "StepLR(40, 0.8) but never steps it; 0 = constant)")
@@ -186,7 +190,8 @@ def main(argv=None):
     import jax.numpy as jnp
 
     compute_dtype = jnp.bfloat16 if args.precision == "bf16" else None
-    train_step = make_train_step(compute_dtype=compute_dtype)
+    train_step = make_train_step(compute_dtype=compute_dtype,
+                                 accum_steps=args.accum_steps)
     eval_step = make_eval_step(compute_dtype=compute_dtype)
 
     def make_loaders(epoch_idx):

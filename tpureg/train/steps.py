@@ -49,6 +49,7 @@ def make_train_step(
     donate: bool = True,
     compute_dtype: Optional[jnp.dtype] = None,
     remat: Optional[str] = None,
+    accum_steps: int = 1,
 ):
     """Fused train step. ``compute_dtype=jnp.bfloat16`` enables TPU-native
     mixed precision: master params stay fp32 (Adam state, BN stats too — the
@@ -61,10 +62,20 @@ def make_train_step(
     recomputes the whole forward inside the backward; ``'dots'`` keeps
     matmul/conv outputs and recomputes only the cheap elementwise tail
     (checkpoint_dots policy).
+
+    ``accum_steps > 1`` enables gradient accumulation: the batch (whose
+    leading axis must be divisible) is split into that many microbatches
+    swept by a ``lax.scan`` — live activations shrink by the factor while
+    the optimizer sees the mean gradient, so effective batch size is no
+    longer bounded by per-chip HBM. BatchNorm statistics thread through the
+    microbatches sequentially (each sees the running stats its predecessor
+    produced). Loss metrics are microbatch means.
     """
     loss_kwargs = loss_kwargs or {}
     if remat not in (None, "full", "dots"):
         raise ValueError(f"remat must be None|'full'|'dots', got {remat!r}")
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state, imgs):
@@ -86,22 +97,53 @@ def make_train_step(
                 forward, policy=jax.checkpoint_policies.checkpoint_dots
             )
 
-        def loss_fn(params):
-            if compute_dtype is not None:
-                params = _cast_floats(params, compute_dtype)
-                imgs_c = imgs.astype(compute_dtype)
-            else:
-                imgs_c = imgs
-            outputs, mutated = forward(params, state.batch_stats, imgs_c)
-            new_stats = _cast_floats(mutated["batch_stats"], jnp.float32)
-            p, c, s, total = loss_from_outputs(outputs, imgs, loss_kwargs)
-            return total, (p, c, s, new_stats)
+        def grads_for(batch_stats, mb_imgs):
+            """(grads, (p, c, s, total, new_stats)) for one microbatch."""
 
-        (total, (p, c, s, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        if compute_dtype is not None:  # grads of the cast come back fp32
-            grads = _cast_floats(grads, jnp.float32)
+            def loss_fn(params):
+                if compute_dtype is not None:
+                    params = _cast_floats(params, compute_dtype)
+                    imgs_c = mb_imgs.astype(compute_dtype)
+                else:
+                    imgs_c = mb_imgs
+                outputs, mutated = forward(params, batch_stats, imgs_c)
+                new_stats = _cast_floats(mutated["batch_stats"], jnp.float32)
+                p, c, s, total = loss_from_outputs(outputs, mb_imgs,
+                                                   loss_kwargs)
+                return total, (p, c, s, new_stats)
+
+            (total, (p, c, s, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            if compute_dtype is not None:  # grads of the cast come back fp32
+                grads = _cast_floats(grads, jnp.float32)
+            return grads, (p, c, s, total, new_stats)
+
+        if accum_steps == 1:
+            grads, (p, c, s, total, new_stats) = grads_for(
+                state.batch_stats, imgs
+            )
+        else:
+            b = imgs.shape[0]
+            if b % accum_steps:
+                raise ValueError(
+                    f"batch {b} not divisible by accum_steps {accum_steps}"
+                )
+            micro = imgs.reshape(accum_steps, b // accum_steps, *imgs.shape[1:])
+
+            def body(carry, mb):
+                grads_acc, stats = carry
+                g, (p, c, s, t, stats) = grads_for(stats, mb)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                return (grads_acc, stats), jnp.stack([p, c, s, t])
+
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, new_stats), ms = jax.lax.scan(
+                body, (zero, state.batch_stats), micro
+            )
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            p, c, s, total = [m for m in jnp.mean(ms, axis=0)]
+
         state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=new_stats)
         metrics = {
