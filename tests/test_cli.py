@@ -160,3 +160,33 @@ def test_export_with_segs_signature(tmp_path):
     assert ws.shape == (1, 64, 64, 1)
     assert float(ws.min()) >= 0.0 and float(ws.max()) <= 3.0
     assert np.allclose(ws, np.rint(ws))  # integer labels
+
+
+def test_train_nan_guard(tmp_path, monkeypatch):
+    """Non-finite loss halts training with a diagnosable error instead of
+    silently poisoning checkpoints."""
+    import pytest
+
+    import tpureg.cli.train as tr
+
+    real_make = tr.make_train_step
+
+    def poisoned(*a, **kw):
+        step = real_make(*a, **kw)
+
+        def bad_step(state, imgs):
+            state, m = step(state, imgs)
+            m = dict(m)
+            m["loss"] = np.float32("nan")
+            return state, m
+
+        return bad_step
+
+    monkeypatch.setattr(tr, "make_train_step", poisoned)
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        tr.main([
+            "--model", "flownets", "--synthetic", "2", "--epochs", "1",
+            "--batch_size", "2", "--image_size", "64",
+            "--workdir", str(tmp_path), "--logdir", str(tmp_path / "log"),
+            "--cp", "0",
+        ])

@@ -52,6 +52,17 @@ def run_epoch(step_fn, state, loader, mode: str, n_batches_hint=None,
 
     def flush():
         for mset in pending:
+            loss = float(mset["loss"])
+            if not np.isfinite(loss):
+                # failure detection the reference lacks: an unguarded NaN
+                # would silently poison every subsequent step and the saved
+                # checkpoints; fail fast with a diagnosable state instead
+                raise FloatingPointError(
+                    f"non-finite loss {loss} in {mode} after "
+                    f"{meters['loss'].count} finite batches — halting before "
+                    "the divergence reaches the checkpoints (lower the lr, "
+                    "check input scaling, or resume from the last epoch)"
+                )
             for k, m in meters.items():
                 m.update(float(mset[k]))
         pending.clear()
