@@ -78,15 +78,15 @@ def dice_batch(warped_seg, fixed_seg):
     return float(np.mean(scores))
 
 
-def main(train_steps: int = 400):
+def main(train_steps: int = 400, model_name: str = "flownets"):
     key = jax.random.key(0)
-    model = OpticalFlowReg(conv_predictor="flownets")
+    model = OpticalFlowReg(conv_predictor=model_name)
     sample, _ = make_pairs(key, TRAIN_B, SIZE, magnitude=(0.0, 0.5))
     state = create_train_state(model, key, sample, learning_rate=1e-4)
     train_step = make_train_step(donate=False, compute_dtype=jnp.bfloat16)
     eval_step = make_eval_step(compute_dtype=jnp.bfloat16)
 
-    print(f"training FlowNetS on phantoms: {train_steps} steps "
+    print(f"training {model_name} on phantoms: {train_steps} steps "
           f"(b{TRAIN_B} {SIZE}², bf16)", flush=True)
     t0 = time.time()
     for i in range(train_steps):
@@ -117,16 +117,17 @@ def main(train_steps: int = 400):
 
     # deep path: eval step returns the head's rounded warped segs
     (flows, _, warped_segs_int, _), _ = eval_step(state, imgs, segs)
-    results["deep(flownets)"] = dice_batch(warped_segs_int, fixed_seg)
+    results[f"deep({model_name})"] = dice_batch(warped_segs_int, fixed_seg)
 
     print("\nDice (labels 1-3) vs fixed seg, elastic eval magnitude (0.5, 1.0):")
     for name, v in results.items():
         print(f"  {name:15s} {v:.4f}")
-    ok = results["deep(flownets)"] >= results["syn(10,0,0)"]
+    ok = results[f"deep({model_name})"] >= results["syn(10,0,0)"]
     print("QUALITY CHECK:",
           "PASS (deep >= classical comparator)" if ok else "FAIL")
     raise SystemExit(0 if ok else 1)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 400)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 400,
+         sys.argv[2] if len(sys.argv) > 2 else "flownets")
