@@ -71,8 +71,22 @@ def main():
     state = create_train_state(model, key, imgs)
 
     train_step = make_train_step(donate=False, compute_dtype=jnp.bfloat16)
+
+    # Per-step FLOPs from XLA's cost model on the exact compiled program →
+    # MFU against the v5e bf16 peak (VERDICT r1 item 1: roofline, not vibes).
+    flops_per_step = None
+    try:
+        cost = train_step.lower(state, imgs).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     dt, state = _measure(train_step, state, batches)
     pairs_per_sec = batch / dt
+    V5E_BF16_PEAK = 197e12  # FLOP/s per chip
+    mfu = (flops_per_step / dt / V5E_BF16_PEAK) if flops_per_step else None
     del state  # free HBM before building the comparison variants
 
     # vs_baseline ratio measured at batch 8: the naive-port variant's
@@ -117,16 +131,17 @@ def main():
         pw.correlation = orig_backend_check
         os.environ.pop("TPUREG_NO_PALLAS_WARP", None)
 
-    print(
-        json.dumps(
-            {
-                "metric": "flownet2_train_pairs_per_sec_per_chip",
-                "value": round(pairs_per_sec, 3),
-                "unit": "pairs/s",
-                "vs_baseline": round(main_pairs_b8 / baseline_pairs_per_sec, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "flownet2_train_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(main_pairs_b8 / baseline_pairs_per_sec, 3),
+    }
+    if flops_per_step:
+        out["flops_per_step"] = round(flops_per_step)
+        out["step_ms"] = round(1e3 * (batch / pairs_per_sec), 2)
+        out["mfu_vs_v5e_bf16_peak"] = round(mfu, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

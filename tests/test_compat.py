@@ -177,3 +177,141 @@ def test_load_torch_checkpoint_file(tmp_path, rng):
     torch.save({"state_dict": {"conv1.0.weight": w}}, tmp_path / "ckpt.pth.tar")
     sd = load_torch_checkpoint(str(tmp_path / "ckpt.pth.tar"))
     assert set(sd) == {"conv1.0.weight"} and sd["conv1.0.weight"].shape == (4, 2, 3, 3)
+
+
+# ---------------------------------------------------------------------------
+# caffemodel dump reader (compat/caffe_reader.py vs param_utils.py:5-254)
+
+def _pb_varint(v):
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_field(num, wire, payload):
+    tag = _pb_varint((num << 3) | wire)
+    if wire == 2:
+        return tag + _pb_varint(len(payload)) + payload
+    return tag + payload
+
+
+def _pb_blob(arr, legacy=False):
+    """Encode a BlobProto: packed float data + shape (or legacy 4-D dims)."""
+    import struct
+
+    arr = np.asarray(arr, np.float32)
+    data = _pb_field(5, 2, arr.ravel().tobytes())
+    if legacy:
+        # caffe legacy 4-D blobs pad LEADING dims (bias = (1,1,1,N))
+        dims = [1] * (4 - arr.ndim) + list(arr.shape)
+        shape = b"".join(
+            _pb_field(f, 0, _pb_varint(d))
+            for f, d in zip((1, 2, 3, 4), dims)
+        )
+        return shape + data
+    shape_msg = _pb_field(1, 2, b"".join(_pb_varint(d) for d in arr.shape))
+    return data + _pb_field(7, 2, shape_msg)
+
+
+def _pb_layer(name, blobs, v1=False, legacy_blob=False):
+    name_f = 4 if v1 else 1
+    blob_f = 6 if v1 else 7
+    msg = _pb_field(name_f, 2, name.encode())
+    for b in blobs:
+        msg += _pb_field(blob_f, 2, _pb_blob(b, legacy=legacy_blob))
+    return msg
+
+
+def encode_caffemodel(layers, v1=False, legacy_blob=False):
+    """Synthetic NetParameter wire encoding: {name: [blobs]} → bytes."""
+    field = 2 if v1 else 100
+    return b"".join(
+        _pb_field(field, 2, _pb_layer(n, bs, v1, legacy_blob))
+        for n, bs in layers.items()
+    )
+
+
+@pytest.mark.parametrize("v1,legacy", [(False, False), (True, True)])
+def test_caffemodel_roundtrip(tmp_path, rng, v1, legacy):
+    """Wire-format reader recovers names, shapes and values from both the
+    modern (layer=100) and V1 (layers=2, legacy 4-D blob dims) formats."""
+    from tpureg.compat import read_caffemodel
+
+    w = rng.standard_normal((8, 3, 5, 5)).astype(np.float32)
+    b = rng.standard_normal((8,)).astype(np.float32)
+    raw = encode_caffemodel(
+        {"conv1": [w, b], "relu1": [], "fc": [rng.standard_normal((4, 8)).astype(np.float32)]},
+        v1=v1, legacy_blob=legacy,
+    )
+    path = tmp_path / "net.caffemodel"
+    path.write_bytes(raw)
+    blobs = read_caffemodel(str(path))
+    assert set(blobs) == {"conv1", "fc"}  # blob-less layers skipped
+    np.testing.assert_array_equal(blobs["conv1"][0], w)
+    np.testing.assert_array_equal(blobs["conv1"][1], b)
+    assert blobs["fc"][0].shape == (4, 8)
+
+
+def test_caffe_layers_ordering_and_flip(rng):
+    """caffe_layers returns (weight, bias) pairs in the reference's
+    param_utils.py order with the stem BGR triplet flips applied."""
+    from tpureg.compat import CAFFE_NETS, caffe_layers
+
+    keys, prefix, double_up, flips = CAFFE_NETS["flownetfusion"]
+    layers = {}
+    shapes = {}
+    for i, k in enumerate(keys):
+        name = prefix + k
+        cin = 11 if i == 0 else 4
+        w = rng.standard_normal((6, cin, 3, 3)).astype(np.float32)
+        layers[name] = [w, np.full((6,), float(i), np.float32)]
+        shapes[name] = w
+    raw = encode_caffemodel(layers)
+    pairs = caffe_layers(raw, "flownetfusion")
+    assert len(pairs) == len(keys)
+    # order preserved: bias i identifies layer i
+    for i, (_, b) in enumerate(pairs):
+        assert b is not None and float(b[0]) == float(i)
+    # stem: first RGB triplet flipped, remaining channels untouched
+    stem = shapes[prefix + keys[0]]
+    np.testing.assert_array_equal(pairs[0][0][:, 0:3], stem[:, 0:3][:, ::-1])
+    np.testing.assert_array_equal(pairs[0][0][:, 3:], stem[:, 3:])
+    # non-stem layers pass through untouched
+    np.testing.assert_array_equal(pairs[3][0], shapes[prefix + keys[3]])
+
+
+def test_caffe_layers_into_params(rng):
+    """End-to-end: caffemodel dump → layer-ordered assignment into a
+    params tree (the reference's copy-by-module-order semantics)."""
+    from tpureg.compat import assign_layer_ordered, caffe_layers
+
+    params = {
+        "c0": {"kernel": np.zeros((3, 3, 11, 6), np.float32),
+               "bias": np.zeros((6,), np.float32)},
+        "c1": {"kernel": np.zeros((3, 3, 4, 6), np.float32),
+               "bias": np.zeros((6,), np.float32)},
+    }
+    keys, prefix, _, _ = __import__(
+        "tpureg.compat", fromlist=["CAFFE_NETS"]).CAFFE_NETS["flownetfusion"]
+    layers = {}
+    for i, k in enumerate(keys):
+        cin = 11 if i == 0 else 4
+        layers[prefix + k] = [
+            rng.standard_normal((6, cin, 3, 3)).astype(np.float32),
+            rng.standard_normal((6,)).astype(np.float32),
+        ]
+    pairs = caffe_layers(encode_caffemodel(layers), "flownetfusion")
+    new, report = assign_layer_ordered(params, pairs)
+    # first two caffe layers landed, in order, transposed to HWIO
+    np.testing.assert_allclose(
+        new["c0"]["kernel"], pairs[0][0].transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(new["c0"]["bias"], pairs[0][1])
+    np.testing.assert_allclose(
+        new["c1"]["kernel"], pairs[1][0].transpose(2, 3, 1, 0))
+    assert any("c1" in line for line in report)

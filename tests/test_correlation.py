@@ -62,13 +62,12 @@ def test_differentiable(rng):
     assert np.isfinite(np.asarray(g1)).all() and np.isfinite(np.asarray(g2)).all()
 
 
-@pytest.mark.skipif(
-    not __import__("os").environ.get("TPUREG_RUN_SLOW"),
-    reason="Pallas interpreter on CPU is extremely slow; kernel is validated "
-    "on real TPU by tools/check_pallas_tpu.py (set TPUREG_RUN_SLOW=1 to force)",
-)
 def test_pallas_interpret_matches_reference(rng):
-    """Run the Pallas kernel in interpreter mode on CPU against the reference."""
+    """Run the Pallas kernel in interpreter mode on CPU against the reference.
+
+    Formerly gated behind TPUREG_RUN_SLOW (the round-1 suite's one skip) —
+    interpret coverage now runs by default here and, comprehensively for
+    every kernel incl. backwards, in tests/test_pallas_interpret.py."""
     from tpureg.ops.correlation_pallas import _corr_fwd_pallas
 
     f1 = rng.standard_normal((2, 8, 8, 16)).astype(np.float32)

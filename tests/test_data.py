@@ -107,8 +107,10 @@ def test_volume2slices_batches(oasis_dir):
 
 
 def test_volume2slices_process_sharding(oasis_dir):
-    """Multi-host input split: disjoint round-robin train shards that cover
-    the full volume list; val/test unsharded; distinct per-process RNG."""
+    """Multi-host input split: disjoint round-robin train shards truncated
+    to EQUAL per-process lengths (identical steps-per-epoch on every host —
+    unequal lengths would desync cross-host collectives at epoch end);
+    val/test unsharded; distinct per-process RNG."""
     from tpureg.data import volume2slices_datasets
 
     img_dir, seg_dir = oasis_dir
@@ -127,16 +129,52 @@ def test_volume2slices_process_sharding(oasis_dir):
     shard_items = [
         {it["image"] for it in s[0].source.items} for s in shards
     ]
-    assert shard_items[0] | shard_items[1] == full_items
+    # equal local epoch length on every process (3 volumes / 2 procs → 1 each)
+    assert len(shards[0][0]) == len(shards[1][0]) > 0
+    assert shard_items[0] | shard_items[1] <= full_items
     assert not (shard_items[0] & shard_items[1])
     # val/test unsharded: same on every process
     assert len(shards[0][1]) == len(shards[1][1])
     # distinct augmentation keys per process
-    import numpy as np
-
     import jax
 
     assert not np.array_equal(
         np.asarray(jax.random.key_data(shards[0][0].key)),
         np.asarray(jax.random.key_data(shards[1][0].key)),
     )
+
+
+def test_volume2slices_sharding_covers_when_divisible(oasis_dir, tmp_path):
+    """With n_volumes divisible by process_count the equal-length shards
+    still cover the whole corpus (nothing dropped)."""
+    from tpureg.data import volume2slices_datasets
+
+    img_dir, seg_dir = oasis_dir
+    shards = [
+        volume2slices_datasets(
+            img_dir, seg_dir, batch_size=4, val_frac=0.0, test_frac=0.0,
+            process_index=i, process_count=3,
+        )
+        for i in range(3)
+    ]
+    items = [{it["image"] for it in s[0].source.items} for s in shards]
+    assert all(len(s[0]) == len(shards[0][0]) for s in shards)
+    union = set().union(*items)
+    assert len(union) == 3  # all volumes covered
+
+
+def test_prefetch_propagates_producer_error():
+    """A decode error mid-epoch must raise in the consumer, not silently
+    truncate the epoch (VERDICT r1 weakness #5a)."""
+    import pytest
+
+    from tpureg.data import prefetch_to_device
+
+    def bad_iter():
+        yield {"image_c": np.zeros((1, 4, 4, 2), np.float32)}
+        raise ValueError("synthetic decode failure")
+
+    it = prefetch_to_device(bad_iter())
+    next(it)
+    with pytest.raises(ValueError, match="synthetic decode failure"):
+        next(it)

@@ -56,13 +56,21 @@ def run_epoch(step_fn, state, loader, mode: str, n_batches_hint=None,
             if not np.isfinite(loss):
                 # failure detection the reference lacks: an unguarded NaN
                 # would silently poison every subsequent step and the saved
-                # checkpoints; fail fast with a diagnosable state instead
-                raise FloatingPointError(
-                    f"non-finite loss {loss} in {mode} after "
-                    f"{meters['loss'].count} finite batches — halting before "
-                    "the divergence reaches the checkpoints (lower the lr, "
-                    "check input scaling, or resume from the last epoch)"
-                )
+                # checkpoints; fail fast with a diagnosable state instead.
+                # Only TRAIN halts — a transient non-finite eval metric
+                # doesn't invalidate healthy training state, so VAL/TEST
+                # log and skip the batch instead of aborting the run.
+                if train:
+                    raise FloatingPointError(
+                        f"non-finite loss {loss} in {mode} after "
+                        f"{meters['loss'].count} finite batches — halting "
+                        "before the divergence reaches the checkpoints "
+                        "(lower the lr, check input scaling, or resume from "
+                        "the last epoch)"
+                    )
+                print(f"[{mode}] WARNING: non-finite loss {loss} — batch "
+                      "excluded from epoch averages", flush=True)
+                continue
             for k, m in meters.items():
                 m.update(float(mset[k]))
         pending.clear()
@@ -143,6 +151,10 @@ def build_argparser():
                    help="StepLR period in steps (reference defines "
                         "StepLR(40, 0.8) but never steps it; 0 = constant)")
     p.add_argument("--lr_gamma", default=0.8, type=float)
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params + optimizer state over the 'data' mesh "
+                        "axis (FSDP); batches are batch-sharded when "
+                        "batch_size divides the device count")
     return p
 
 
@@ -205,6 +217,27 @@ def main(argv=None):
                                  accum_steps=args.accum_steps)
     eval_step = make_eval_step(compute_dtype=compute_dtype)
 
+    shard_fn = None
+    if args.fsdp:
+        from ..parallel import batch_sharding, fsdp_state_sharding, make_mesh
+
+        mesh = make_mesh(n_data=len(jax.devices()))
+        state = jax.device_put(state, fsdp_state_sharding(mesh, state))
+        n_dev = mesh.shape["data"]
+        print(f"FSDP: params/opt-state sharded over {n_dev} devices", flush=True)
+        if args.batch_size % n_dev == 0:
+            bsh = batch_sharding(mesh, 4)
+            shard_fn = lambda b: {k: jax.device_put(v, bsh)
+                                  for k, v in b.items()}
+        else:
+            print(f"FSDP: batch {args.batch_size} not divisible by {n_dev} "
+                  "devices — batches stay replicated", flush=True)
+
+    def shard_loader(loader):
+        if shard_fn is None:
+            return loader
+        return (shard_fn(b) for b in loader)
+
     def make_loaders(epoch_idx):
         if args.synthetic:
             k = jax.random.fold_in(jax.random.key(args.seed), epoch_idx)
@@ -232,7 +265,13 @@ def main(argv=None):
         print(f"=================\n EPOCH {e + 1}/{args.epochs}\n"
               f"=================", flush=True)
         train_loader, val_loader, test_loader, train_len, _ = make_loaders(e)
-        writer.add_scalar("lr", args.lrIni, e + 1)
+        train_loader = shard_loader(train_loader)
+        val_loader = shard_loader(val_loader)
+        test_loader = shard_loader(test_loader)
+        # log the lr actually scheduled at the current optimizer step, not
+        # the initial value (matters once --lr_step decay is enabled)
+        lr_now = float(lr(int(state.step))) if callable(lr) else float(lr)
+        writer.add_scalar("lr", lr_now, e + 1)
 
         state, train_m = run_epoch(
             train_step, state, train_loader, "TRAIN",

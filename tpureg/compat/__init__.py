@@ -1,4 +1,10 @@
 from .caffe_import import assign_layer_ordered, bgr_to_rgb_first_conv
+from .caffe_reader import (
+    CAFFE_NETS,
+    caffe_layers,
+    caffe_weights_biases,
+    read_caffemodel,
+)
 from .torch_import import (
     collapse_rgb_input,
     collapse_rgb_pair_input,
@@ -7,8 +13,12 @@ from .torch_import import (
 )
 
 __all__ = [
+    "CAFFE_NETS",
     "assign_layer_ordered",
     "bgr_to_rgb_first_conv",
+    "caffe_layers",
+    "caffe_weights_biases",
+    "read_caffemodel",
     "collapse_rgb_input",
     "collapse_rgb_pair_input",
     "import_torch_state_dict",

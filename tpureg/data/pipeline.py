@@ -277,7 +277,13 @@ def volume2slices_datasets(
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     if pc > 1 and train_v:
-        train_v = train_v[pi::pc] or [train_v[pi % len(train_v)]]
+        # Round-robin shard, truncated so every process gets the SAME number
+        # of volumes (hence the same steps-per-epoch): unequal local lengths
+        # would desync cross-host collectives at epoch end. When there are
+        # fewer volumes than processes each process repeats one volume.
+        common = max(1, len(train_v) // pc)
+        shard = train_v[pi::pc] or [train_v[pi % len(train_v)]]
+        train_v = shard[:common]
     key = jax.random.key(seed)
     kt, kv, ks = jax.random.split(key, 3)
     if pc > 1:
@@ -419,7 +425,13 @@ def volume_dataset(data_dir: str, batch_size: int, val_frac: float = 0.1,
 
 
 def prefetch_to_device(iterator, size: int = 2):
-    """Background-thread prefetch: overlap host decode with device compute."""
+    """Background-thread prefetch: overlap host decode with device compute.
+
+    Producer-thread exceptions (decode failure mid-epoch, device OOM on the
+    transfer) propagate to the consumer instead of silently truncating the
+    epoch — a short epoch that looks clean is far harder to diagnose than
+    the original error.
+    """
     import queue
     import threading
 
@@ -430,7 +442,9 @@ def prefetch_to_device(iterator, size: int = 2):
         try:
             for item in iterator:
                 q.put(jax.tree.map(jnp.asarray, item))
-        finally:
+        except BaseException as e:  # re-raised in the consumer
+            q.put(e)
+        else:
             q.put(_SENTINEL)
 
     t = threading.Thread(target=producer, daemon=True)
@@ -439,4 +453,6 @@ def prefetch_to_device(iterator, size: int = 2):
         item = q.get()
         if item is _SENTINEL:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -70,10 +70,9 @@ def correlation(f1, f2, max_displacement: int, stride2: int = 1):
     TPU-only Pallas custom call cannot appear in the CPU branch
     (serving/export.py).
     """
-    import os
+    from .portable import portable_ops_enabled
 
-    if (jax.default_backend() == "tpu"
-            and not os.environ.get("TPUREG_PORTABLE_OPS")):
+    if jax.default_backend() == "tpu" and not portable_ops_enabled():
         from .correlation_pallas import correlation_pallas
 
         return correlation_pallas(f1, f2, max_displacement, stride2)

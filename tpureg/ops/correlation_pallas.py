@@ -193,7 +193,107 @@ def _bwd_fused_kernel(g_ref, f1_ref, f2p_ref, df1_ref, df2_ref, buf,
         df2_ref[0] = buf[md : md + h, md : md + w, :]
 
 
-def _corr_bwd_pallas(f1, f2, g, max_displacement: int, stride2: int):
+def _bwd_banded_kernel(g_ref, f1_ref, f2p_ref, df1_ref, df2_ref, buf,
+                       *, k, s2, h, w, wp, inv_c):
+    """Banded-MXU backward: per (B, C-slab, dy) grid step, the dy row's K
+    displacement taps are folded into per-y banded matrices T_y (stored
+    transposed, (wp, w), so the g values broadcast along sublanes — no
+    relayout), then BOTH cotangents become batched matmuls on the MXU:
+
+        df1[y]  = T_yᵀ-contracted @ f2p_rows[y]   (contract xx)
+        df2p[y+dy·s2] += T_y @ f1[y]              (contract x)
+
+    replacing the per-tap VPU multiply sweep (2·H·W·C·K² elementwise MACs)
+    with a K-tap band build (2·H·W·K·Wp, ~100× smaller) + 2·2·H·W·Wp·C MXU
+    FLOPs. The band offsets are static per ix; the only dynamic sublane
+    offset is the same ``iy·s2`` row slide the shipped fused kernel already
+    compiles.
+    """
+    iy = pl.program_id(2)
+    md = (k - 1) * s2 // 2
+
+    @pl.when(iy == 0)
+    def _():
+        df1_ref[...] = jnp.zeros_like(df1_ref)
+        buf[...] = jnp.zeros_like(buf)
+
+    # T_t[y, xx, x] = Σ_ix g[y, x, d_ix]/C · [xx == x + ix·s2]
+    rows_xx = jax.lax.broadcasted_iota(jnp.int32, (wp, w), 0)
+    cols_x = jax.lax.broadcasted_iota(jnp.int32, (wp, w), 1)
+    tt = jnp.zeros((h, wp, w), jnp.float32)
+    for ix in range(k):
+        m = (rows_xx == cols_x + ix * s2).astype(jnp.float32)
+        gsl = g_ref[0, ix].astype(jnp.float32) * inv_c       # (h, w)
+        tt = tt + gsl[:, None, :] * m[None]
+
+    f2rows = f2p_ref[0, pl.ds(iy * s2, h), :, :].astype(jnp.float32)
+    f1v = f1_ref[0].astype(jnp.float32)                       # (h, w, c)
+
+    # df1[y, x, c] = Σ_xx T_t[y, xx, x] · f2rows[y, xx, c]
+    d1 = jax.lax.dot_general(
+        tt, f2rows, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                         # (h, w, c)
+    df1_ref[0] = df1_ref[0] + d1
+
+    # df2p[y + iy·s2, xx, c] += Σ_x T_t[y, xx, x] · f1[y, x, c]
+    d2 = jax.lax.dot_general(
+        tt, f1v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                         # (h, wp, c)
+    buf[pl.ds(iy * s2, h), :, :] = buf[pl.ds(iy * s2, h), :, :] + d2
+
+    @pl.when(iy == k - 1)
+    def _():
+        df2_ref[0] = buf[md : md + h, md : md + w, :]
+
+
+def _corr_bwd_banded(f1, f2, g, max_displacement: int, stride2: int,
+                     interpret: bool = False):
+    """Banded-MXU backward dispatch (same contract as _corr_bwd_pallas)."""
+    b, h, w, c = f1.shape
+    md, s2 = max_displacement, stride2
+    k = displacement_count(md, s2)
+
+    cblk = 128 if c > 128 else c
+    c_pad = -(-c // cblk) * cblk
+    f1p_ch, f2p_ch = f1, f2
+    if c_pad != c:
+        f1p_ch = jnp.pad(f1, ((0, 0),) * 3 + ((0, c_pad - c),))
+        f2p_ch = jnp.pad(f2, ((0, 0),) * 3 + ((0, c_pad - c),))
+    f2p = jnp.pad(f2p_ch, ((0, 0), (md, md), (md, md), (0, 0)))
+    hp, wp = h + 2 * md, w + 2 * md
+    n_cblk = c_pad // cblk
+
+    g_cf = jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2))
+    g_spec = pl.BlockSpec((1, k, h, w), lambda i, j, l: (i, l, 0, 0),
+                          memory_space=pltpu.VMEM)
+    slab = lambda hh, ww: pl.BlockSpec(
+        (1, hh, ww, cblk), lambda i, j, l: (i, 0, 0, j),
+        memory_space=pltpu.VMEM,
+    )
+    df1, df2 = pl.pallas_call(
+        functools.partial(_bwd_banded_kernel, k=k, s2=s2, h=h, w=w, wp=wp,
+                          inv_c=1.0 / c),
+        out_shape=(jax.ShapeDtypeStruct((b, h, w, c_pad), jnp.float32),) * 2,
+        grid=(b, n_cblk, k),
+        in_specs=[g_spec, slab(h, w), slab(hp, wp)],
+        out_specs=(slab(h, w),) * 2,
+        scratch_shapes=[pltpu.VMEM((hp, wp, cblk), jnp.float32)],
+        interpret=interpret,
+    )(g_cf, f1p_ch, f2p)
+    if c_pad != c:
+        df1 = df1[..., :c]
+        df2 = df2[..., :c]
+    return df1.astype(f1.dtype), df2.astype(f2.dtype)
+
+
+def _corr_bwd_pallas(f1, f2, g, max_displacement: int, stride2: int,
+                     interpret: bool = False, force_split: bool = False):
+    """``interpret``/``force_split`` exist for in-CI numerical coverage on
+    CPU: interpret mode runs the kernels under the pure-JAX emulator, and
+    force_split exercises the split df1/df2 path even when the fused kernel
+    would fit VMEM (tests/test_pallas_interpret.py)."""
     b, h, w, c = f1.shape
     md, s2 = max_displacement, stride2
     k = displacement_count(md, s2)
@@ -220,13 +320,19 @@ def _corr_bwd_pallas(f1, f2, g, max_displacement: int, stride2: int):
         memory_space=pltpu.VMEM,
     )
 
-    # fused single-pass backward when the block set fits VMEM comfortably
-    # (f2p slab + f1 + buf scratch + both outputs, double-buffered); the
-    # FlowNetC cascade config (32², C=256→2 slabs) takes this path
-    fused_bytes = 4 * (hp * wp * cblk * 2      # f2p slab + buf scratch
-                       + 3 * h * w * cblk      # f1 + df1 + df2 blocks
-                       + k * h * w)            # g block (one dy row)
-    if fused_bytes < 9 * 2**20:
+    # fused single-pass backward when the block set fits VMEM. Pallas
+    # double-buffers every gridded in/out block (scratch is single-buffered),
+    # so count those 2× — the shipped FlowNetC cascade config (32², C=256→2
+    # slabs) lands at ~11.3 MB actual and takes this path; anything the
+    # estimate puts past 13 MB falls back to the split kernels instead of
+    # failing the 16 MB budget at Mosaic compile time.
+    fused_bytes = 4 * (
+        2 * (hp * wp * cblk          # f2p slab (double-buffered)
+             + 3 * h * w * cblk     # f1 + df1 + df2 blocks
+             + k * h * w)           # g block (one dy row)
+        + hp * wp * cblk            # accumulation scratch (single-buffered)
+    )
+    if fused_bytes < 13 * 2**20 and not force_split:
         df1, df2 = pl.pallas_call(
             functools.partial(_bwd_fused_kernel, k=k, s2=s2, h=h, w=w,
                               inv_c=inv_c),
@@ -235,6 +341,7 @@ def _corr_bwd_pallas(f1, f2, g, max_displacement: int, stride2: int):
             in_specs=[g_spec, slab(h, w), slab(hp, wp)],
             out_specs=(slab(h, w),) * 2,
             scratch_shapes=[pltpu.VMEM((hp, wp, cblk), jnp.float32)],
+            interpret=interpret,
         )(g_cf, f1p_ch, f2p)
         if c_pad != c:
             df1 = df1[..., :c]
@@ -256,6 +363,7 @@ def _corr_bwd_pallas(f1, f2, g, max_displacement: int, stride2: int):
         out_specs=pl.BlockSpec((1, hb, w, cblk),
                                lambda i, j, l, r: (i, r, 0, j),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(g_cf, f2p)
 
     df2 = pl.pallas_call(
@@ -266,6 +374,7 @@ def _corr_bwd_pallas(f1, f2, g, max_displacement: int, stride2: int):
         in_specs=[g_spec, slab(h, w)],
         out_specs=slab(h, w),
         scratch_shapes=[pltpu.VMEM((hp, wp, cblk), jnp.float32)],
+        interpret=interpret,
     )(g_cf, f1p_ch)
 
     if c_pad != c:

@@ -58,11 +58,13 @@ def sample2d(img, px, py):
     """
     import os
 
+    from .portable import portable_ops_enabled
+
     b, h, w, c = img.shape
     p_total = int(px.shape[1] * px.shape[2]) if px.ndim == 3 else 0
     if (p_total and jax.default_backend() == "tpu"
             and not os.environ.get("TPUREG_NO_PALLAS_WARP")
-            and not os.environ.get("TPUREG_PORTABLE_OPS")):
+            and not portable_ops_enabled()):
         from .warp_pallas import supported, warp2d_pallas
 
         if supported(img.shape, p_total):
@@ -131,10 +133,9 @@ def warp2d(img, flow, convention: str = "stn", return_mask: bool = False):
     """Backward-warp NHWC ``img`` by flow ``[B, H, W, 2]`` (x, y displacement).
 
     ``convention`` selects the reference grid convention (module docstring).
-    For 'pwc', the output is multiplied by the thresholded validity mask
-    (PWCNet.py:169-179) unless ``return_mask`` — then (warped, mask) is
-    returned unmultiplied=False semantics kept: output is already masked and
-    the mask is returned additionally.
+    For 'pwc', the output is always multiplied by the thresholded validity
+    mask (PWCNet.py:169-179); with ``return_mask=True`` the call returns
+    ``(masked_output, mask)`` so callers can reuse the mask.
     """
     b, h, w, _ = flow.shape
     grid = base_grid(h, w, jnp.float32)

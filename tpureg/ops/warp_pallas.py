@@ -182,6 +182,11 @@ def _dimg_kernel(px_ref, py_ref, g_ref, dimg_ref, *, h, w, pblk):
 
 PBLK = 1024  # 8 sublanes × 128 lanes per position block
 
+# Interpret-mode switch (tests monkeypatch this True): runs every pallas_call
+# in this module under the pure-JAX emulator so the kernels' numerics are
+# CI-checkable on CPU against the gather oracle. Never set in production.
+_INTERPRET = False
+
 
 def supported(img_shape, p_total) -> bool:
     """Whether the Pallas warp handles this case (else: gather fallback)."""
@@ -232,6 +237,7 @@ def _fwd(img2d, px, py):
             bytes_accessed=4 * b * (h * w + 4 * p_total),
             transcendentals=0,
         ),
+        interpret=_INTERPRET,
     )(img2d, _as_blocks(px, b, p_total), _as_blocks(py, b, p_total))
     return out.reshape(b, p_total)
 
@@ -264,6 +270,7 @@ def _fwd_with_taps(img2d, px, py):
             bytes_accessed=4 * b * (h * w + 6 * p_total),
             transcendentals=0,
         ),
+        interpret=_INTERPRET,
     )(img2d, _as_blocks(px, b, p_total), _as_blocks(py, b, p_total))
     return tuple(o.reshape(b, p_total) for o in outs)
 
@@ -288,6 +295,7 @@ def _vjp_bwd(res, g):
         grid=(b, nblk),
         in_specs=[vec_spec, vec_spec, vec_spec],
         out_specs=img_spec,
+        interpret=_INTERPRET,
     )(_as_blocks(px, b, p_total), _as_blocks(py, b, p_total),
       _as_blocks(g, b, p_total))
 

@@ -42,12 +42,14 @@ def export_registration(
     ``.serialize()`` to persist. ``platforms`` defaults to the current
     backend; pass ``("tpu", "cpu")`` for a multi-platform artifact.
 
-    Multi-platform artifacts are traced with ``TPUREG_PORTABLE_OPS=1``: a
-    TPU-only Pallas custom call cannot appear in the non-TPU branches, so
-    the portable pure-XLA op lowerings are baked in instead (slightly
-    slower on TPU; single-platform TPU artifacts keep the Pallas kernels).
+    Multi-platform artifacts are traced under the scoped
+    :func:`tpureg.ops.portable.portable_ops` switch: a TPU-only Pallas
+    custom call cannot appear in the non-TPU branches, so the portable
+    pure-XLA op lowerings are baked in instead (slightly slower on TPU;
+    single-platform TPU artifacts keep the Pallas kernels). The switch is
+    a contextvar, so concurrent tracing in other threads is unaffected.
     """
-    import os
+    from ..ops.portable import portable_ops
 
     spec = jax.ShapeDtypeStruct((batch_size, image_size, image_size, 2),
                                 dtype)
@@ -69,15 +71,8 @@ def export_registration(
         args = (spec,)
 
     if portable:
-        prev = os.environ.get("TPUREG_PORTABLE_OPS")
-        os.environ["TPUREG_PORTABLE_OPS"] = "1"
-        try:
+        with portable_ops():
             exp = jexport.export(jax.jit(forward), platforms=platforms)(*args)
-        finally:
-            if prev is None:
-                os.environ.pop("TPUREG_PORTABLE_OPS", None)
-            else:
-                os.environ["TPUREG_PORTABLE_OPS"] = prev
     else:
         exp = jexport.export(jax.jit(forward), platforms=platforms)(*args)
     return exp
