@@ -67,13 +67,51 @@ def main():
         f2 = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
         g = jnp.asarray(
             rng.standard_normal((b, h, w, k * k)).astype(np.float32))
+
+        # f32 operands need HIGHEST (the default one-bf16-pass truncation
+        # loses ~8 mantissa bits — measured 6e-4..3.5e-3 at these configs)
         _, vjp = jax.vjp(
             lambda a, bb: correlation_reference(a, bb, md, s2), f1, f2)
         rdf1, rdf2 = vjp(g)
         df1, df2 = jax.jit(
-            lambda a, bb, gg: _corr_bwd_banded(a, bb, gg, md, s2))(f1, f2, g)
-        ok &= check(f"{name} banded df1", df1, rdf1)
-        ok &= check(f"{name} banded df2", df2, rdf2)
+            lambda a, bb, gg: _corr_bwd_banded(
+                a, bb, gg, md, s2, precision=jax.lax.Precision.HIGHEST)
+        )(f1, f2, g)
+        ok &= check(f"{name} banded-hi f32 df1", df1, rdf1)
+        ok &= check(f"{name} banded-hi f32 df2", df2, rdf2)
+
+        # bf16 operands at DEFAULT precision are exact (inv_c applied
+        # post-dot → MXU truncation is the identity): compare against the
+        # f32 reference VJP evaluated on the same bf16-rounded inputs
+        f1b = f1.astype(jnp.bfloat16)
+        f2b = f2.astype(jnp.bfloat16)
+        gb = g.astype(jnp.bfloat16)
+        _, vjpb = jax.vjp(
+            lambda a, bb: correlation_reference(a, bb, md, s2),
+            f1b.astype(jnp.float32), f2b.astype(jnp.float32))
+        rdf1b, rdf2b = vjpb(gb.astype(jnp.float32))
+        df1b, df2b = jax.jit(
+            lambda a, bb, gg: _corr_bwd_banded(a, bb, gg, md, s2)
+        )(f1b, f2b, gb)
+        # banded outputs come back in the input dtype (bf16) — the final
+        # cast is the only lossy step; compare pre-cast via f32 upcast with
+        # a bf16-output tolerance
+        ok &= check(f"{name} banded bf16 df1", df1b.astype(jnp.float32),
+                    rdf1b, atol=2e-2)
+        ok &= check(f"{name} banded bf16 df2", df2b.astype(jnp.float32),
+                    rdf2b, atol=2e-2)
+        # tight cross-check: fused (VPU f32-accumulate) and banded (MXU
+        # f32-accumulate) on the same bf16 operands differ only by summation
+        # order + the final bf16 cast → ≤ ~1 bf16 ulp
+        fdf1b, fdf2b = jax.jit(
+            lambda a, bb, gg: _corr_bwd_pallas(a, bb, gg, md, s2)
+        )(f1b, f2b, gb)
+        ok &= check(f"{name} banded≡fused bf16 df1",
+                    df1b.astype(jnp.float32), fdf1b.astype(jnp.float32),
+                    atol=4e-3)
+        ok &= check(f"{name} banded≡fused bf16 df2",
+                    df2b.astype(jnp.float32), fdf2b.astype(jnp.float32),
+                    atol=4e-3)
 
     # micro-benchmark at the b24 cascade training shape
     shape, md, s2 = (24, 32, 32, 256), 20, 2
@@ -89,6 +127,10 @@ def main():
                    lambda a, bb, gg: _corr_bwd_banded(a, bb, gg, md, s2),
                    f1, f2, g)
     print(f"speedup fused→banded: {t_fused / t_band:.2f}x", flush=True)
+    bench("banded-hi bwd b24 corr441 (f32-accurate)",
+          lambda a, bb, gg: _corr_bwd_banded(
+              a, bb, gg, md, s2, precision=jax.lax.Precision.HIGHEST),
+          f1, f2, g)
 
     # bf16 inputs (mixed-precision cascade path)
     f1b, f2b = f1.astype(jnp.bfloat16), f2.astype(jnp.bfloat16)

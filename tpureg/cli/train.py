@@ -50,8 +50,20 @@ def run_epoch(step_fn, state, loader, mode: str, n_batches_hint=None,
     timer = AverageMeter()
     pending = []
 
-    def flush():
-        for mset in pending:
+    def flush(blocking: bool = True):
+        # Non-blocking mid-epoch: only convert metric sets whose device
+        # computation has already finished — a float() on an in-flight
+        # array would stall the step pipeline for a full host round-trip
+        # (expensive through a device tunnel). Printed values lag a batch
+        # or two; epoch end flushes everything.
+        drained = []
+        while pending:
+            head_loss = pending[0]["loss"]
+            if (not blocking and hasattr(head_loss, "is_ready")
+                    and not head_loss.is_ready()):
+                break
+            drained.append(pending.pop(0))
+        for mset in drained:
             loss = float(mset["loss"])
             if not np.isfinite(loss):
                 # failure detection the reference lacks: an unguarded NaN
@@ -73,9 +85,9 @@ def run_epoch(step_fn, state, loader, mode: str, n_batches_hint=None,
                 continue
             for k, m in meters.items():
                 m.update(float(mset[k]))
-        pending.clear()
 
-    tic = time.time()
+    epoch_t0 = time.time()
+    tic = epoch_t0
     for i, batch in enumerate(loader):
         imgs = batch["image_c"]
         if train:
@@ -86,20 +98,29 @@ def run_epoch(step_fn, state, loader, mode: str, n_batches_hint=None,
         timer.update(time.time() - tic)
         tic = time.time()
         if i % PRINT_INTERVAL == 0:
-            flush()
+            flush(blocking=False)
             total = f"/{n_batches_hint}" if n_batches_hint else ""
-            print(
-                f"[{mode} batch {i + 1:03d}{total}] "
-                f"time {timer.val:.3f}s ({timer.avg:.3f}s)  "
+            # Dispatch is async: until the first metric set lands on the
+            # host the loss meters carry no data — say so rather than
+            # print zeros (values legitimately lag a batch or two).
+            stats = (
                 f"loss {meters['loss'].val:.4f} ({meters['loss'].avg:.4f})  "
                 f"smooth {meters['smooth_loss'].val:.4f}  "
                 f"corr {meters['corr_loss'].val:.4f}  "
-                f"photo {meters['photo_loss'].val:.4f}",
+                f"photo {meters['photo_loss'].val:.4f}"
+                if meters["loss"].count else "loss (pending)"
+            )
+            print(
+                f"[{mode} batch {i + 1:03d}{total}] "
+                f"time {timer.val:.3f}s ({timer.avg:.3f}s)  {stats}",
                 flush=True,
             )
     flush()
+    # wall time includes the final blocking drain — the per-batch timer only
+    # sees dispatch once flushes stopped blocking mid-epoch
+    epoch_s = time.time() - epoch_t0
     print(
-        f"===> {mode} done in {timer.sum:.0f}s | avg loss "
+        f"===> {mode} done in {epoch_s:.0f}s | avg loss "
         f"{meters['loss'].avg:.4f} smooth {meters['smooth_loss'].avg:.4f} "
         f"corr {meters['corr_loss'].avg:.4f} photo "
         f"{meters['photo_loss'].avg:.4f}\n",

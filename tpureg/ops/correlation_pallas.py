@@ -26,6 +26,12 @@ block set would not fit VMEM fall back to the split two-kernel path
 (df1 with an extra H-rowblock grid axis). The jnp reference VJP remains
 the CPU path.
 
+The default backward is the banded-MXU kernel (_bwd_banded_kernel): the
+per-tap VPU sweep is reformulated as two banded matmuls per dy row, which
+the MXU runs 2.5× faster (bf16 operands, exact) / 1.8× faster (f32 at
+HIGHEST, ≤2e-7) than the fused VPU kernel — tools/check_banded_tpu.py. The
+fused and split VPU kernels remain the over-VMEM fallback.
+
 Validated against the jnp reference on real TPU hardware by
 tools/check_pallas_tpu.py (forward and grad, all three reference configs).
 """
@@ -194,7 +200,7 @@ def _bwd_fused_kernel(g_ref, f1_ref, f2p_ref, df1_ref, df2_ref, buf,
 
 
 def _bwd_banded_kernel(g_ref, f1_ref, f2p_ref, df1_ref, df2_ref, buf,
-                       *, k, s2, h, w, wp, inv_c):
+                       *, k, s2, h, w, wp, inv_c, precision):
     """Banded-MXU backward: per (B, C-slab, dy) grid step, the dy row's K
     displacement taps are folded into per-y banded matrices T_y (stored
     transposed, (wp, w), so the g values broadcast along sublanes — no
@@ -208,6 +214,15 @@ def _bwd_banded_kernel(g_ref, f1_ref, f2p_ref, df1_ref, df2_ref, buf,
     FLOPs. The band offsets are static per ix; the only dynamic sublane
     offset is the same ``iy·s2`` row slide the shipped fused kernel already
     compiles.
+
+    Numerics: the ``inv_c`` scale is applied AFTER the dots, so the band
+    matrix holds raw ``g`` values. With bf16 operands (the mixed-precision
+    training path) the MXU's one-pass bf16 truncation of each operand is
+    then the identity — products are exact and accumulate in f32, matching
+    the VPU fused kernel bit-for-bit up to summation order. With f32
+    operands the default one-pass truncation loses ~8 mantissa bits
+    (measured ~6e-4 abs at the cascade config), so the f32 path either
+    keeps the fused VPU kernel or requests ``precision=HIGHEST`` here.
     """
     iy = pl.program_id(2)
     md = (k - 1) * s2 // 2
@@ -217,40 +232,72 @@ def _bwd_banded_kernel(g_ref, f1_ref, f2p_ref, df1_ref, df2_ref, buf,
         df1_ref[...] = jnp.zeros_like(df1_ref)
         buf[...] = jnp.zeros_like(buf)
 
-    # T_t[y, xx, x] = Σ_ix g[y, x, d_ix]/C · [xx == x + ix·s2]
+    # T_t[y, xx, x] = Σ_ix g[y, x, d_ix] · [xx == x + ix·s2]
+    # ((xx, x) entries collide for at most one ix, so every entry is exactly
+    # one g value — no additive rounding in the build)
     rows_xx = jax.lax.broadcasted_iota(jnp.int32, (wp, w), 0)
     cols_x = jax.lax.broadcasted_iota(jnp.int32, (wp, w), 1)
     tt = jnp.zeros((h, wp, w), jnp.float32)
     for ix in range(k):
         m = (rows_xx == cols_x + ix * s2).astype(jnp.float32)
-        gsl = g_ref[0, ix].astype(jnp.float32) * inv_c       # (h, w)
+        gsl = g_ref[0, ix].astype(jnp.float32)                # (h, w)
         tt = tt + gsl[:, None, :] * m[None]
 
     f2rows = f2p_ref[0, pl.ds(iy * s2, h), :, :].astype(jnp.float32)
     f1v = f1_ref[0].astype(jnp.float32)                       # (h, w, c)
 
-    # df1[y, x, c] = Σ_xx T_t[y, xx, x] · f2rows[y, xx, c]
+    # df1[y, x, c] = (1/C) Σ_xx T_t[y, xx, x] · f2rows[y, xx, c]
     d1 = jax.lax.dot_general(
         tt, f2rows, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=precision,
     )                                                         # (h, w, c)
-    df1_ref[0] = df1_ref[0] + d1
+    df1_ref[0] = df1_ref[0] + d1 * inv_c
 
-    # df2p[y + iy·s2, xx, c] += Σ_x T_t[y, xx, x] · f1[y, x, c]
+    # df2p[y + iy·s2, xx, c] += (1/C) Σ_x T_t[y, xx, x] · f1[y, x, c]
     d2 = jax.lax.dot_general(
         tt, f1v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=precision,
     )                                                         # (h, wp, c)
-    buf[pl.ds(iy * s2, h), :, :] = buf[pl.ds(iy * s2, h), :, :] + d2
+    buf[pl.ds(iy * s2, h), :, :] = (
+        buf[pl.ds(iy * s2, h), :, :] + d2 * inv_c
+    )
 
     @pl.when(iy == k - 1)
     def _():
         df2_ref[0] = buf[md : md + h, md : md + w, :]
 
 
+def _fused_bwd_bytes(h, w, hp, wp, cblk, k):
+    """Per-grid-step VMEM footprint of the fused/banded backward block set
+    (gridded blocks double-buffered, scratch single-buffered)."""
+    return 4 * (
+        2 * (hp * wp * cblk          # f2p slab (double-buffered)
+             + 3 * h * w * cblk     # f1 + df1 + df2 blocks
+             + k * h * w)           # g block (one dy row)
+        + hp * wp * cblk            # accumulation scratch (single-buffered)
+    )
+
+
+def _banded_fits_vmem(shape, max_displacement: int, stride2: int) -> bool:
+    """Whether the banded backward's block set + in-kernel temporaries
+    (band matrix T_t (h, wp, w) and the pre-scale dot outputs) fit VMEM."""
+    _, h, w, c = shape
+    md = max_displacement
+    k = displacement_count(md, stride2)
+    cblk = 128 if c > 128 else c
+    hp, wp = h + 2 * md, w + 2 * md
+    temps = 4 * (h * wp * w + h * wp * cblk)
+    return _fused_bwd_bytes(h, w, hp, wp, cblk, k) + temps < 13 * 2**20
+
+
 def _corr_bwd_banded(f1, f2, g, max_displacement: int, stride2: int,
-                     interpret: bool = False):
-    """Banded-MXU backward dispatch (same contract as _corr_bwd_pallas)."""
+                     interpret: bool = False, precision=None):
+    """Banded-MXU backward dispatch (same contract as _corr_bwd_pallas).
+
+    ``precision`` is forwarded to the in-kernel dots: leave ``None``
+    (DEFAULT, one bf16 pass — exact for bf16 operands) on the bf16 training
+    path; pass ``jax.lax.Precision.HIGHEST`` for f32 operands.
+    """
     b, h, w, c = f1.shape
     md, s2 = max_displacement, stride2
     k = displacement_count(md, s2)
@@ -265,7 +312,9 @@ def _corr_bwd_banded(f1, f2, g, max_displacement: int, stride2: int,
     hp, wp = h + 2 * md, w + 2 * md
     n_cblk = c_pad // cblk
 
-    g_cf = jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2))
+    # keep g in its native dtype (bf16 halves the blocked VMEM traffic; the
+    # kernel upcasts to f32 losslessly)
+    g_cf = jnp.transpose(g, (0, 3, 1, 2))
     g_spec = pl.BlockSpec((1, k, h, w), lambda i, j, l: (i, l, 0, 0),
                           memory_space=pltpu.VMEM)
     slab = lambda hh, ww: pl.BlockSpec(
@@ -274,7 +323,7 @@ def _corr_bwd_banded(f1, f2, g, max_displacement: int, stride2: int,
     )
     df1, df2 = pl.pallas_call(
         functools.partial(_bwd_banded_kernel, k=k, s2=s2, h=h, w=w, wp=wp,
-                          inv_c=1.0 / c),
+                          inv_c=1.0 / c, precision=precision),
         out_shape=(jax.ShapeDtypeStruct((b, h, w, c_pad), jnp.float32),) * 2,
         grid=(b, n_cblk, k),
         in_specs=[g_spec, slab(h, w), slab(hp, wp)],
@@ -326,12 +375,7 @@ def _corr_bwd_pallas(f1, f2, g, max_displacement: int, stride2: int,
     # slabs) lands at ~11.3 MB actual and takes this path; anything the
     # estimate puts past 13 MB falls back to the split kernels instead of
     # failing the 16 MB budget at Mosaic compile time.
-    fused_bytes = 4 * (
-        2 * (hp * wp * cblk          # f2p slab (double-buffered)
-             + 3 * h * w * cblk     # f1 + df1 + df2 blocks
-             + k * h * w)           # g block (one dy row)
-        + hp * wp * cblk            # accumulation scratch (single-buffered)
-    )
+    fused_bytes = _fused_bwd_bytes(h, w, hp, wp, cblk, k)
     if fused_bytes < 13 * 2**20 and not force_split:
         df1, df2 = pl.pallas_call(
             functools.partial(_bwd_fused_kernel, k=k, s2=s2, h=h, w=w,
@@ -395,6 +439,17 @@ def _fwd(f1, f2, max_displacement, stride2):
 def _bwd(max_displacement, stride2, res, g):
     f1, f2 = res
     if jax.default_backend() == "tpu":
+        # banded-MXU backward wherever its block set fits VMEM: bf16
+        # operands run at DEFAULT matmul precision (exact — see
+        # _bwd_banded_kernel docstring) at 2.5× the fused VPU kernel;
+        # f32 operands request HIGHEST (bf16x6 passes, ≤2e-7 vs the jnp
+        # reference on hardware) and still beat fused 1.8×. Oversized
+        # configs fall back to the fused/split VPU path.
+        if _banded_fits_vmem(f1.shape, max_displacement, stride2):
+            precision = (None if f1.dtype == jnp.bfloat16
+                         else jax.lax.Precision.HIGHEST)
+            return _corr_bwd_banded(f1, f2, g, max_displacement, stride2,
+                                    precision=precision)
         return _corr_bwd_pallas(f1, f2, g, max_displacement, stride2)
     _, vjp = jax.vjp(
         lambda a, b: correlation_reference(a, b, max_displacement, stride2), f1, f2
