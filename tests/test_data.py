@@ -178,3 +178,27 @@ def test_prefetch_propagates_producer_error():
     next(it)
     with pytest.raises(ValueError, match="synthetic decode failure"):
         next(it)
+
+
+def test_empty_split_yields_no_batches():
+    """An empty split (e.g. 6 volumes -> int(0.6)=0 val volumes) must yield
+    zero batches on the device-cache path, not crash jnp.stack([]) — the
+    reference's empty DataLoader iterates zero times the same way."""
+    src = VolumeSliceSource([], with_seg=True, device_cache=True)
+    assert list(src.batches(4)) == []
+
+
+def test_set_epoch_redraws_augmentations(oasis_dir):
+    """set_epoch must change the elastic draws (the reference's Rand2DElasticd
+    redraws per epoch) without rebuilding the dataset/volume cache."""
+    img_dir, seg_dir = oasis_dir
+    train, _, _, _, _ = volume2slices_datasets(img_dir, seg_dir, 4, limit=3,
+                                               val_frac=0.0, test_frac=0.0)
+    train.set_epoch(1)
+    b1 = next(iter(train))["image_c"]
+    train.set_epoch(2)
+    b2 = next(iter(train))["image_c"]
+    train.set_epoch(1)
+    b1_again = next(iter(train))["image_c"]
+    assert not np.allclose(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b1_again))

@@ -259,6 +259,19 @@ def main(argv=None):
             return loader
         return (shard_fn(b) for b in loader)
 
+    # Datasets are built ONCE: the decoded (and device-resident) volume
+    # cache survives the whole run instead of being re-read and re-uploaded
+    # every epoch. Per-epoch augmentation freshness comes from set_epoch
+    # (train only — val/test stay deterministic so the best-weight
+    # comparison across epochs is apples-to-apples; documented deviation
+    # from the reference's per-epoch val redraw).
+    oasis = None
+    if not args.synthetic:
+        oasis = volume2slices_datasets(
+            args.img_dir, args.seg_dir, args.batch_size, seed=args.seed,
+            limit=args.limit_volumes, shuffle_train=args.shuffle,
+        )
+
     def make_loaders(epoch_idx):
         if args.synthetic:
             k = jax.random.fold_in(jax.random.key(args.seed), epoch_idx)
@@ -273,10 +286,8 @@ def main(argv=None):
                 args.synthetic * args.batch_size,
                 n_val * args.batch_size,
             )
-        train_ds, val_ds, test_ds, train_len, val_len = volume2slices_datasets(
-            args.img_dir, args.seg_dir, args.batch_size, seed=args.seed,
-            limit=args.limit_volumes, shuffle_train=args.shuffle,
-        )
+        train_ds, val_ds, test_ds, train_len, val_len = oasis
+        train_ds.set_epoch(epoch_idx + 1)
         return (prefetch_to_device(iter(train_ds)),
                 prefetch_to_device(iter(val_ds)),
                 prefetch_to_device(iter(test_ds)), train_len, val_len)

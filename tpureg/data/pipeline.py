@@ -149,6 +149,8 @@ class VolumeSliceSource:
         """Yield (img [B,X,Y], seg [B,X,Y] or None) batches; the last
         partial batch is dropped (static shapes for jit)."""
         n = len(self)
+        if n < batch_size:  # empty split (or fewer slices than one batch):
+            return          # yield nothing, like the host path's range()
         order = np.arange(n) if order is None else np.asarray(order)
         if self.device_cache:
             imgs_all, segs_all = self._stacked()
@@ -229,12 +231,22 @@ class SliceDataset:
     magnitude: Tuple[float, float] = (0.0, 0.5)
     size: int = 256
     shuffle: bool = False
+    epoch: int = 0
 
     def __len__(self):
         return len(self.source)
 
+    def set_epoch(self, epoch: int):
+        """Fold the epoch into the augmentation/shuffle RNG so successive
+        epochs draw fresh elastic deformations (Rand2DElasticd redraws per
+        epoch in the reference, dataset.py:77-80) while the dataset object —
+        and its decoded/device-resident volume cache — is reused across the
+        whole run instead of being rebuilt (and re-uploaded) every epoch."""
+        self.epoch = epoch
+
     def __iter__(self) -> Iterator[Dict[str, jnp.ndarray]]:
-        key = self.key
+        key = (jax.random.fold_in(self.key, self.epoch) if self.epoch
+               else self.key)
         order = None
         if self.shuffle:
             key, k_perm = jax.random.split(key)
