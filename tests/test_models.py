@@ -176,3 +176,45 @@ def test_raft_lookup_windows_matches_gather():
     want = _lookup(pyr, coords, radius=4, use_windows=False)
     got = _lookup(pyr, coords, radius=4, use_windows=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_pwc_old_contract():
+    # Legacy RGB variant (reference PWCNet.py:282-496): 6-ch input,
+    # train -> (flow2..flow6), eval -> bare flow2 at 1/4 res.
+    from tpureg.models import PWCDCNetOld
+
+    x = jnp.zeros((1, 64, 64, 6))
+    out, variables = _run(PWCDCNetOld(), x, train=True)
+    assert [o.shape for o in out] == [
+        (1, 16, 16, 2), (1, 8, 8, 2), (1, 4, 4, 2), (1, 2, 2, 2),
+        (1, 1, 1, 2),
+    ]
+    out_eval, _ = _run(PWCDCNetOld(), x, train=False)
+    assert out_eval.shape == (1, 16, 16, 2)
+
+    # Param count vs the reference constructor arithmetic
+    # (PWCNet.py:294-368), computed independently of the flax module tree.
+    convs = [(3, 16), (16, 16), (16, 32), (32, 32), (32, 64), (64, 64),
+             (64, 96), (96, 96), (96, 128), (128, 128), (128, 196),
+             (196, 196)]
+    deconvs = []
+    dd = [128, 256, 352, 416, 448]
+    for c1_feat, has_upfeat in [(0, True), (128, True), (96, True),
+                                (64, True), (32, False)]:
+        od = 81 + (c1_feat + 4 if c1_feat else 0)
+        widths = [128, 128, 96, 64, 32]
+        cin = od
+        for w in widths:
+            convs.append((cin, w))
+            cin += w
+        convs.append((cin, 2))          # predict_flow
+        deconvs.append((2, 2))          # deconv
+        if has_upfeat:
+            deconvs.append((cin, 2))    # upfeat
+    for io in [(565, 128), (128, 128), (128, 128), (128, 96), (96, 64),
+               (64, 32), (32, 2)]:      # context net + dc_conv7
+        convs.append(io)
+    expected = sum(9 * i * o + o for i, o in convs) + sum(
+        16 * i * o + o for i, o in deconvs)
+    n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    assert n_params == expected

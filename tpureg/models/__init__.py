@@ -22,7 +22,7 @@ from .flownet_c import FlowNetC
 from .flownet_fusion import FlowNetFusion
 from .flownet_s import FlowNetS, FlowNetSFull
 from .flownet_sd import FlowNetSD
-from .pwcnet import PWCDCNet
+from .pwcnet import PWCDCNet, PWCDCNetOld
 from .raft import RAFT
 from .voxelmorph3d import VoxelMorph3D
 
@@ -41,6 +41,7 @@ __all__ = [
     "FlowNetSFull",
     "FlowNetSD",
     "PWCDCNet",
+    "PWCDCNetOld",
     "RAFT",
     "VoxelMorph3D",
     "build_predictor",
@@ -55,6 +56,9 @@ _EXPLICIT = {
     "flownetc": lambda bn: FlowNetC(use_bn=bn),
     "flownetsd": lambda bn: FlowNetSD(use_bn=bn),
     "flownets-full": lambda bn: FlowNetSFull(use_bn=bn),
+    # legacy RGB PWC-DC variant (reference PWCNet.py:282-496, dead code
+    # there; exposed here by explicit name only — 6-ch input contract)
+    "pwc-old": lambda bn: PWCDCNetOld(),
 }
 
 

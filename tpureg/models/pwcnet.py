@@ -24,7 +24,7 @@ from ..nn.layers import ConvBlock, TorchConvTranspose, predict_flow
 from ..ops.correlation import correlation
 from ..ops.warp import warp2d
 
-__all__ = ["PWCDCNet"]
+__all__ = ["PWCDCNet", "PWCDCNetOld"]
 
 _kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
@@ -109,3 +109,113 @@ class PWCDCNet(nn.Module):
         flow1 = up2(flow2, 2, "deconv2")
         flow0 = up2(flow1, 2, "deconv1")
         return (flow0, flow1, flow2, flows[3], flows[4], flows[5], flows[6])
+
+
+class PWCDCNetOld(nn.Module):
+    """Legacy PWC-DC net (reference PWC/models/PWCNet.py:282-496).
+
+    The original RGB PWC-DC variant that predates the grayscale-adapted
+    :class:`PWCDCNet`. Differences, all reproduced exactly:
+
+    - 6-channel input: ``im1 = x[..., :3]``, ``im2 = x[..., 3:]`` (:413-414);
+    - two convs per pyramid level (``a`` stride-2, ``b`` stride-1, :294-305)
+      instead of three;
+    - quirky per-level dense-concat ordering — step 0 ``cat(x, conv(x))``,
+      step 1 ``cat(conv(x), x)``, steps 2-4 ``cat(x, conv(x))``
+      (:431-435, :444-448) — unlike the new net's uniform ``cat(conv(x), x)``;
+    - no flow1/flow0 output deconvs: training returns
+      ``(flow2, flow3, flow4, flow5, flow6)`` (:494), eval returns the bare
+      ``flow2`` tensor (:496);
+    - in-model warp with validity mask (:377-409; mask threshold 0.999 vs the
+      new net's 0.9999 — sub-1e-3 of boundary pixels differ, we use the shared
+      'pwc' convention).
+
+    Dead code in the reference (never constructed by any driver; loader
+    ``pwc_dc_net_old`` :511-519 exists but is uncalled) — ported for full
+    component-inventory parity.
+    """
+
+    md: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        im1 = x[..., 0:3]
+        im2 = x[..., 3:6]
+
+        def conv(feat, name, k=3, s=1, d=1):
+            return ConvBlock(feat, k, s, dilation=d, use_bn=False,
+                             kernel_init=_kaiming, name=name)
+
+        # --- siamese two-conv pyramid (levels 1..6, PWCNet.py:294-305)
+        feats = (16, 32, 64, 96, 128, 196)
+        stages = [
+            (conv(f, f"conv{lvl}a", s=2), conv(f, f"conv{lvl}b"))
+            for lvl, f in enumerate(feats, start=1)
+        ]
+
+        def pyramid(im):
+            outs = []
+            y = im
+            for (a, bb) in stages:
+                y = bb(a(y, train), train)
+                outs.append(y)
+            return outs
+
+        p1 = pyramid(im1)
+        p2 = pyramid(im2)
+
+        def corr(a, b):
+            return nn.leaky_relu(correlation(a, b, self.md, 1), 0.1)
+
+        dense_feats = (128, 128, 96, 64, 32)
+
+        def dense_decoder(y, lvl):
+            # concat order per step: 0 -> (x, conv), 1 -> (conv, x),
+            # 2..4 -> (x, conv)  (PWCNet.py:431-435)
+            for i, f in enumerate(dense_feats):
+                c = conv(f, f"conv{lvl}_{i}")(y, train)
+                y = (jnp.concatenate([c, y], axis=-1) if i == 1
+                     else jnp.concatenate([y, c], axis=-1))
+            flow = predict_flow(use_bias=True, kernel_init=_kaiming,
+                               name=f"predict_flow{lvl}")(y)
+            return y, flow
+
+        def up2(y, feat, name):
+            return TorchConvTranspose(feat, 4, 2, 1, use_bias=True,
+                                      kernel_init=_kaiming, name=name)(y)
+
+        # --- level 6 (no warp)
+        y, flow6 = dense_decoder(corr(p1[5], p2[5]), 6)
+        up_flow = up2(flow6, 2, "deconv6")
+        up_feat = up2(y, 2, "upfeat6")
+
+        scales = {5: 0.625, 4: 1.25, 3: 2.5, 2: 5.0}
+        flows = {6: flow6}
+        for lvl in (5, 4, 3, 2):
+            c1, c2 = p1[lvl - 1], p2[lvl - 1]
+            warped = warp2d(c2, up_flow * scales[lvl], convention="pwc")
+            y = jnp.concatenate([corr(c1, warped), c1, up_flow, up_feat],
+                                axis=-1)
+            y, flow = dense_decoder(y, lvl)
+            flows[lvl] = flow
+            if lvl > 2:
+                up_flow = up2(flow, 2, f"deconv{lvl}")
+                up_feat = up2(y, 2, f"upfeat{lvl}")
+
+        # The reference constructs self.deconv2 (:360) but never calls it in
+        # the old forward; materialize it (output discarded, XLA DCEs the
+        # compute) so the param tree matches for checkpoint import.
+        _ = up2(flows[2], 2, "deconv2")
+
+        # --- dilated context network refines flow2 (PWCNet.py:490-491)
+        ctx = y
+        for i, (f, d) in enumerate(
+            [(128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1)], start=1
+        ):
+            ctx = conv(f, f"dc_conv{i}", d=d)(ctx, train)
+        flow2 = flows[2] + predict_flow(use_bias=True, kernel_init=_kaiming,
+                                       name="dc_conv7")(ctx)
+
+        if train:
+            return (flow2, flows[3], flows[4], flows[5], flows[6])
+        return flow2
