@@ -202,3 +202,56 @@ def test_set_epoch_redraws_augmentations(oasis_dir):
     b1_again = next(iter(train))["image_c"]
     assert not np.allclose(np.asarray(b1), np.asarray(b2))
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b1_again))
+
+
+def test_fused_take_process_matches_host_path(oasis_dir):
+    """The fused one-dispatch gather+prep+synthesis path (device_cache) must
+    reproduce the host slicing path bit-for-bit, and with_seg=False must not
+    change the image synthesis (the displacement draw is seg-independent)."""
+    import jax
+
+    from tpureg.data.pipeline import SliceDataset
+
+    img_dir, seg_dir = oasis_dir
+    pairs = list_pairs(img_dir, seg_dir)
+    key = jax.random.key(3)
+
+    def batches(device_cache, with_seg, shuffle=True):
+        ds = SliceDataset(
+            VolumeSliceSource(pairs, with_seg=with_seg,
+                              device_cache=device_cache),
+            batch_size=4, key=key, shuffle=shuffle,
+        )
+        ds.set_epoch(2)
+        return [jax.tree.map(np.asarray, b) for b, _ in zip(iter(ds), range(3))]
+
+    fused = batches(device_cache=True, with_seg=True)
+    host = batches(device_cache=False, with_seg=True)
+    for f, h in zip(fused, host):
+        np.testing.assert_allclose(f["image_c"], h["image_c"], atol=1e-6)
+        np.testing.assert_array_equal(f["seg_c"], h["seg_c"])
+
+    no_seg = batches(device_cache=True, with_seg=False)
+    for f, n in zip(fused, no_seg):
+        np.testing.assert_array_equal(f["image_c"], n["image_c"])
+        assert "seg_c" not in n
+
+
+def test_real_pairs_fused_matches_host_path(oasis_dir):
+    import jax
+
+    from tpureg.data.pipeline import RealPairsDataset
+
+    img_dir, seg_dir = oasis_dir
+    pairs = list_pairs(img_dir, seg_dir)
+    fix, mov = pairs[:1] * 2, pairs[1:3]
+
+    def batches(device_cache):
+        ds = RealPairsDataset(fix, mov, batch_size=4)
+        for src in (ds.fix_src, ds.mov_src):
+            src.device_cache = device_cache
+        return [jax.tree.map(np.asarray, b) for b, _ in zip(iter(ds), range(2))]
+
+    for f, h in zip(batches(True), batches(False)):
+        np.testing.assert_allclose(f["image_c"], h["image_c"], atol=1e-6)
+        np.testing.assert_array_equal(f["seg_c"], h["seg_c"])

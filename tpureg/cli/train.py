@@ -120,7 +120,7 @@ def run_epoch(step_fn, state, loader, mode: str, n_batches_hint=None,
     # sees dispatch once flushes stopped blocking mid-epoch
     epoch_s = time.time() - epoch_t0
     print(
-        f"===> {mode} done in {epoch_s:.0f}s | avg loss "
+        f"===> {mode} done in {epoch_s:.1f}s | avg loss "
         f"{meters['loss'].avg:.4f} smooth {meters['smooth_loss'].avg:.4f} "
         f"corr {meters['corr_loss'].avg:.4f} photo "
         f"{meters['photo_loss'].avg:.4f}\n",
@@ -270,6 +270,9 @@ def main(argv=None):
         oasis = volume2slices_datasets(
             args.img_dir, args.seg_dir, args.batch_size, seed=args.seed,
             limit=args.limit_volumes, shuffle_train=args.shuffle,
+            # this loop never reads seg_c (reference train.py:41-44 likewise)
+            # — skip the per-batch seg elastic warp + decode entirely
+            with_seg=False,
         )
 
     def make_loaders(epoch_idx):

@@ -145,6 +145,15 @@ class VolumeSliceSource:
         )
         return imgs, segs
 
+    def flat_stacks(self):
+        """([n_slices, X, Y], [n_slices, X, Y] or None) device-resident
+        flattened slice stacks — the input of the fused take+process path."""
+        imgs_all, segs_all = self._stacked()
+        flat_i = imgs_all.reshape(-1, *imgs_all.shape[2:])
+        flat_s = (None if segs_all is None
+                  else segs_all.reshape(-1, *segs_all.shape[2:]))
+        return flat_i, flat_s
+
     def batches(self, batch_size: int, order: Optional[np.ndarray] = None):
         """Yield (img [B,X,Y], seg [B,X,Y] or None) batches; the last
         partial batch is dropped (static shapes for jit)."""
@@ -153,11 +162,7 @@ class VolumeSliceSource:
             return          # yield nothing, like the host path's range()
         order = np.arange(n) if order is None else np.asarray(order)
         if self.device_cache:
-            imgs_all, segs_all = self._stacked()
-            z = imgs_all.shape[1]
-            flat_i = imgs_all.reshape(-1, *imgs_all.shape[2:])
-            flat_s = (None if segs_all is None
-                      else segs_all.reshape(-1, *segs_all.shape[2:]))
+            flat_i, flat_s = self.flat_stacks()
             for start in range(0, n - batch_size + 1, batch_size):
                 idx = jnp.asarray(order[start : start + batch_size])
                 img = jnp.take(flat_i, idx, axis=0)
@@ -202,6 +207,33 @@ def _process_synth(key, img, seg, size: int = 256,
     if seg is not None:
         out["seg_c"] = jnp.concatenate([seg, mov_seg], axis=-1)
     return out
+
+
+@partial(jax.jit, static_argnames=("size", "magnitude"))
+def _take_and_process(epoch_key, flat_img, flat_seg, idx, size: int = 256,
+                      magnitude: Tuple[float, float] = (0.0, 0.5)):
+    """Fused batch-gather + slice prep + elastic synthesis — ONE device
+    program per batch instead of separate take/process dispatches (each
+    dispatch pays a host→device round-trip, expensive through a tunnel).
+
+    The per-batch augmentation key derives from the epoch key and the
+    batch's start offset *inside* the program (no per-batch host-side
+    ``jax.random.split`` dispatch chain)."""
+    k_aug = jax.random.fold_in(epoch_key, idx[0])
+    img = jnp.take(flat_img, idx, axis=0)
+    seg = None if flat_seg is None else jnp.take(flat_seg, idx, axis=0)
+    return _process_synth.__wrapped__(k_aug, img, seg, size, magnitude)
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _take_and_process_real(flat_fi, flat_mi, flat_fs, flat_ms, idx,
+                           size: int = 256):
+    """Fused gather + prep for real pairs — one dispatch per eval batch
+    (batch_size=1 over 80 slices/volume makes eval dispatch-latency-bound)."""
+    take = lambda f: jnp.take(f, idx, axis=0)
+    return _process_real.__wrapped__(
+        take(flat_fi), take(flat_mi), take(flat_fs), take(flat_ms), size
+    )
 
 
 @partial(jax.jit, static_argnames=("size",))
@@ -253,8 +285,26 @@ class SliceDataset:
             order = np.asarray(
                 jax.random.permutation(k_perm, len(self.source))
             )
-        for img, seg in self.source.batches(self.batch_size, order):
-            key, k_aug = jax.random.split(key)
+        n, bs = len(self.source), self.batch_size
+        order_arr = np.arange(n) if order is None else np.asarray(order)
+        # Per-batch augmentation key = fold_in(epoch key, first slice index
+        # of the batch) — unique per batch within an epoch (the order is a
+        # permutation), reproducible, and free of a per-batch host-side
+        # split chain (each split is its own device dispatch).
+        if self.source.device_cache and n >= bs:
+            # fused path: gather + prep + synthesis in one dispatch per batch
+            flat_i, flat_s = self.source.flat_stacks()
+            for start in range(0, n - bs + 1, bs):
+                yield _take_and_process(
+                    key, flat_i, flat_s,
+                    jnp.asarray(order_arr[start:start + bs]),
+                    self.size, self.magnitude,
+                )
+            return
+        for start_i, (img, seg) in zip(
+            range(0, max(n - bs + 1, 0), bs), self.source.batches(bs, order)
+        ):
+            k_aug = jax.random.fold_in(key, int(order_arr[start_i]))
             yield _process_synth(
                 k_aug, jnp.asarray(img), None if seg is None else
                 jnp.asarray(seg), self.size, self.magnitude,
@@ -272,8 +322,13 @@ def volume2slices_datasets(
     shuffle_train: bool = False,
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
+    with_seg: bool = True,
 ):
     """(train, val, test, train_len, val_len) — reference dataset.py:30-97.
+
+    ``with_seg=False`` skips segmentation decode + augmentation entirely —
+    the reference's train driver never reads ``seg_c`` (train.py:41-44), so
+    the training CLI opts out of the wasted per-batch seg elastic warp.
 
     Multi-host: the *training* volume list is sharded round-robin across
     processes (defaults to ``jax.process_index()/count()``) so each host
@@ -301,7 +356,8 @@ def volume2slices_datasets(
     if pc > 1:
         kt = jax.random.fold_in(kt, pi)
     mk = lambda vols, k, shuf: SliceDataset(
-        VolumeSliceSource(vols), batch_size, k, (0.0, 0.5), 256, shuf
+        VolumeSliceSource(vols, with_seg=with_seg), batch_size, k,
+        (0.0, 0.5), 256, shuf,
     )
     train = mk(train_v, kt, shuffle_train)
     val = mk(val_v, kv, False)
@@ -337,9 +393,21 @@ class RealPairsDataset:
         return len(self.mov_src)
 
     def __iter__(self):
+        bs = self.batch_size
+        n = min(len(self.fix_src), len(self.mov_src))
+        if (self.fix_src.device_cache and self.mov_src.device_cache
+                and n >= bs):
+            flat_fi, flat_fs = self.fix_src.flat_stacks()
+            flat_mi, flat_ms = self.mov_src.flat_stacks()
+            for start in range(0, n - bs + 1, bs):
+                idx = jnp.asarray(np.arange(start, start + bs))
+                yield _take_and_process_real(
+                    flat_fi, flat_mi, flat_fs, flat_ms, idx, self.size
+                )
+            return
         for (fi, fs), (mi, ms) in zip(
-            self.fix_src.batches(self.batch_size),
-            self.mov_src.batches(self.batch_size),
+            self.fix_src.batches(bs),
+            self.mov_src.batches(bs),
         ):
             yield _process_real(
                 jnp.asarray(fi), jnp.asarray(mi), jnp.asarray(fs),
