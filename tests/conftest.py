@@ -21,8 +21,13 @@ jax.config.update(
 )
 
 # Persistent compilation cache: cuts repeated suite runs down (every test
-# otherwise pays a fresh XLA compile).
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+# otherwise pays a fresh XLA compile). Keyed by host-CPU fingerprint — CPU
+# AOT cache entries from a different host load with mismatched machine
+# features and drift numerics past golden tolerances (utils/cache.py).
+from tpureg.utils.cache import host_cpu_key  # noqa: E402
+
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache",
+                          host_cpu_key())
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

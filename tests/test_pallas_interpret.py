@@ -181,6 +181,37 @@ def test_warp_full_vjp_interpret():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_warp_tall_image_interpret():
+    """Taller-than-wide image (H > lane tile) through the transposed
+    kernels: one tight block clipping past the bottom edge, one block
+    spread across the whole height — exercises the sublane-axis reductions
+    and clip handling at production-like aspect ratios."""
+    hb = 144
+    img = jax.random.normal(jax.random.key(21), (1, hb, W), jnp.float32)
+    k1, k2 = jax.random.split(jax.random.key(23))
+    px = jax.random.uniform(k1, (1, 2 * P), minval=-2.0, maxval=(W - 1) * 1.3)
+    # block 0: tight band near the bottom edge (banded branch, clipping);
+    # block 1: spread across the whole height (fallback branch)
+    py_tight = jax.random.uniform(k2, (1, P), minval=hb - 30.0, maxval=hb + 2.0)
+    py_wide = jax.random.uniform(k2, (1, P), minval=-2.0, maxval=hb * 1.2)
+    py = jnp.concatenate([py_tight, py_wide], axis=1)
+    got = wp._fwd(img, px, py)
+    want = _gather_oracle(img, px, py)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+    # taps kernel under banding: forward + d/dposition bases
+    out, dpx_base, dpy_base = wp._fwd_with_taps(img, px, py)
+    want2, vjp = jax.vjp(lambda a, b: _gather_oracle(img, a, b), px, py)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want2),
+                               atol=2e-5, rtol=1e-5)
+    g = jax.random.normal(jax.random.key(24), out.shape, jnp.float32)
+    rdpx, rdpy = vjp(g)
+    np.testing.assert_allclose(np.asarray(g * dpx_base), np.asarray(rdpx),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g * dpy_base), np.asarray(rdpy),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_corr_backward_banded_interpret():
     """Banded-MXU backward variant matches the reference VJP (cascade-style
     s2=2 config at tiny shape)."""

@@ -154,17 +154,21 @@ class TorchConvTranspose(nn.Module):
         return y
 
 
-def _batch_norm(train: bool, dtype=None) -> nn.BatchNorm:
+def _batch_norm(train: bool, dtype) -> nn.BatchNorm:
     """torch-default BatchNorm over NHW (per-channel).
 
-    ``dtype=None`` follows flax promotion: fp32 params + fp32 input → fp32
-    (the reference-parity default), while under bf16 mixed precision (params
-    and activations cast by the train step) the BN boundary computes and
-    stores bf16 — halving the HBM traffic the step profile showed the
-    high-resolution subnets (FlowNetFusion/FlowNetC) are bound by. The batch
-    statistics are always accumulated in fp32 internally by flax, and the
-    running stats stay fp32 (their variables are initialized fp32 and the
-    train step re-pins them).
+    ``dtype`` must be the *incoming activation's* dtype (callers pass
+    ``self.dtype or x.dtype``), never ``None``: flax's ``dtype=None``
+    promotion upcasts the normalize output to fp32 whenever the batch
+    statistics are fp32 — which is always, since flax accumulates stats in
+    fp32 — so under bf16 mixed precision every BN boundary would emit an
+    fp32 tensor to HBM (verified in the compiled flagship step: fp32
+    256²×64ch normalize outputs at 805 MB *physical* each, both directions).
+    Pinning ``dtype`` to the incoming bf16 keeps stats accumulation fp32
+    internally but casts mean/var for the normalize math, halving that
+    traffic. For fp32 inputs the pin is the identity (reference parity).
+    The running stats stay fp32 (their variables are initialized fp32 and
+    the train step re-pins them).
     """
     return nn.BatchNorm(
         use_running_average=not train,
@@ -204,7 +208,7 @@ class ConvBlock(nn.Module):
             name="conv",
         )(x)
         if self.use_bn:
-            y = _batch_norm(train, self.dtype)(y)
+            y = _batch_norm(train, self.dtype or y.dtype)(y)
         return nn.leaky_relu(y, 0.1)
 
 
@@ -235,7 +239,7 @@ class IConvBlock(nn.Module):
             name="conv",
         )(x)
         if self.use_bn:
-            y = _batch_norm(train, self.dtype)(y)
+            y = _batch_norm(train, self.dtype or y.dtype)(y)
         return y
 
 

@@ -5,21 +5,30 @@ profiled FlowNet2 train step spent 270 ms/step — 56% — in warp-gather
 fusions (5 full-resolution warps × 4 taps). This kernel reformulates the
 warp as MXU work instead:
 
-    out[p] = Σ_w  [ wy0·(R0 @ img) + wy1·(R1 @ img) ][p, w] · Wc[p, w]
+    out[p] = Σ_w  [ wy0·(img @ R0) + wy1·(img @ R1) ][w, p] · Wc[w, p]
 
 where R0/R1 are one-hot row-selection matrices (built on the VPU from
 integer compares — exact in bf16) and Wc holds the fused horizontal
 bilinear weights + bounds masks. The row-select matmuls run on the MXU; the
-whole per-block pipeline (one-hot build → 2 matmuls → weighting → column
-reduce) stays in VMEM, so HBM traffic is O(img + flow + out) instead of
-either the O(P·W) row-matrix round-trip a pure-XLA einsum pays or the
-scalar-loop latency of the gather lowering.
+whole per-block pipeline (one-hot build → 2 matmuls → weighting → reduce)
+stays in VMEM, so HBM traffic is O(img + flow + out) instead of either the
+O(P·W) row-matrix round-trip a pure-XLA einsum pays or the scalar-loop
+latency of the gather lowering.
 
-Layouts matter: every array is kept 2-D with a ≥128 lane dimension —
-a trailing size-1 channel dim would be padded 128× by TPU tiling. The
-public entry takes C=1 images as (B, H, W) and positions as two (B, P)
-planes; multi-channel cases fall back to the gather path (feature-map warps
-in PWC/RAFT are at small resolutions where gathers are cheap).
+Orientation matters (round-2 finding): every per-block tensor is laid out
+**transposed**, (W, P) with the position block P in lanes, so the final
+per-position reductions run along *sublanes* — plain strided adds — instead
+of across lanes, which Mosaic lowers to log-depth lane shuffles. The shuffle
+reductions, not the MXU selects, dominated the original (P, W) kernel:
+measured at b24 256² bf16, fwd 8.1 → 3.3 ms and fwd+taps 13.5 → 3.8 ms from
+the transposition alone (row-banding the selects to a 128-row window changed
+nothing — the kernel was never MXU-bound). The image is fed pre-transposed
+(B, W, H) by the XLA-side wrapper (a one-off ~6 MB relayout per call).
+
+Layouts also explain the (B, P) position planes: a trailing size-1 channel
+dim would be padded 128× by TPU tiling. The public entry takes C=1 images
+as (B, H, W); multi-channel cases fall back to the gather path (feature-map
+warps in PWC/RAFT are at small resolutions where gathers are cheap).
 
 fp32 exactness: the one-hot matmul is exact for bf16-representable values;
 img is split hi/lo (``img = hi + lo`` with bf16 hi) and both passes
@@ -62,17 +71,26 @@ def _tap_weights(px, py, h, w):
 
 
 def _row_onehot(yi, h, dtype=jnp.bfloat16):
+    """(P, H) one-hot — the d/dimg kernel's orientation."""
     p = yi.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1)
     return (jnp.clip(yi, 0, h - 1)[:, None] == rows).astype(dtype)
 
 
 def _col_weight(x0i, wx0, wx1, w):
+    """(P, W) fused horizontal weights — the d/dimg kernel's orientation."""
     p = x0i.shape[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1)
     c0 = (jnp.clip(x0i, 0, w - 1)[:, None] == cols).astype(jnp.float32)
     c1 = (jnp.clip(x0i + 1, 0, w - 1)[:, None] == cols).astype(jnp.float32)
     return c0 * wx0[:, None] + c1 * wx1[:, None]
+
+
+def _onehot_t(idx, n, dtype):
+    """(N, P) transposed one-hot: rows iota along sublanes."""
+    p = idx.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, p), 0)
+    return (jnp.clip(idx, 0, n - 1)[None, :] == rows).astype(dtype)
 
 
 def _split(img, with_lo: bool = True):
@@ -90,41 +108,55 @@ def _split(img, with_lo: bool = True):
     return hi, lo
 
 
-def _rowsel(r, img_hi, img_lo):
-    """(P, H) bf16 one-hot @ (H, W) split image → (P, W) fp32-exact."""
-    dn = (((1,), (0,)), ((), ()))
-    a = jax.lax.dot_general(r, img_hi, dn,
+_DN = (((1,), (0,)), ((), ()))
+
+
+def _rowsel_t(imgt_hi, imgt_lo, r):
+    """(W, H) split image @ (H, P) bf16 one-hot → (W, P) fp32-exact."""
+    a = jax.lax.dot_general(imgt_hi, r, _DN,
                             preferred_element_type=jnp.float32)
-    if img_lo is None:
+    if imgt_lo is None:
         return a
-    b = jax.lax.dot_general(r, img_lo, dn,
+    b = jax.lax.dot_general(imgt_lo, r, _DN,
                             preferred_element_type=jnp.float32)
     return a + b
 
 
-def _fwd_kernel(img_ref, px_ref, py_ref, out_ref, *, h, w, pblk, lo=True):
-    img_hi, img_lo = _split(img_ref[0].astype(jnp.float32), lo)
+def _sel_pair_t(imgt_ref, y0i, h, lo):
+    """Transposed row selections a0/a1: (W, P) samples of rows y0, y0+1.
+
+    Out-of-bounds taps clip; their bilinear weights are zero
+    (``_tap_weights`` bounds masks), so the clipped row's value never lands
+    in the output.
+    """
+    imgt_hi, imgt_lo = _split(imgt_ref[0].astype(jnp.float32), lo)
+    a0 = _rowsel_t(imgt_hi, imgt_lo, _onehot_t(y0i, h, jnp.bfloat16))
+    a1 = _rowsel_t(imgt_hi, imgt_lo, _onehot_t(y0i + 1, h, jnp.bfloat16))
+    return a0, a1
+
+
+def _fwd_kernel(imgt_ref, px_ref, py_ref, out_ref, *, h, w, pblk, lo=True):
     px = px_ref[0].reshape(pblk)
     py = py_ref[0].reshape(pblk)
     x0i, y0i, wx0, wx1, wy0, wy1 = _tap_weights(px, py, h, w)
-    a0 = _rowsel(_row_onehot(y0i, h), img_hi, img_lo)
-    a1 = _rowsel(_row_onehot(y0i + 1, h), img_hi, img_lo)
-    arow = a0 * wy0[:, None] + a1 * wy1[:, None]           # (P, W)
-    wc = _col_weight(x0i, wx0, wx1, w)                     # (P, W)
-    out_ref[0] = jnp.sum(arow * wc, axis=1).reshape(out_ref.shape[1:])
+    a0, a1 = _sel_pair_t(imgt_ref, y0i, h, lo)
+    arow = a0 * wy0[None, :] + a1 * wy1[None, :]            # (W, P)
+    c0 = _onehot_t(x0i, w, jnp.float32)
+    c1 = _onehot_t(x0i + 1, w, jnp.float32)
+    wc = c0 * wx0[None, :] + c1 * wx1[None, :]              # (W, P)
+    out_ref[0] = jnp.sum(arow * wc, axis=0).reshape(out_ref.shape[1:])
 
 
-def _fwd_taps_kernel(img_ref, px_ref, py_ref, out_ref, dpx_ref, dpy_ref,
+def _fwd_taps_kernel(imgt_ref, px_ref, py_ref, out_ref, dpx_ref, dpy_ref,
                      *, h, w, pblk, lo=True):
     """Forward + the two analytic position-derivative bases.
 
     The bilinear derivative collapses onto the tensors the forward already
     builds:  ∂out/∂px = Σ_w arow·(c1·mx1 − c0·mx0)  and
              ∂out/∂py = Σ_w (my1·a1 − my0·a0)·wc,
-    so d/dposition costs two extra column reduces here and the backward is a
-    pure elementwise multiply by the output cotangent.
+    so d/dposition costs two extra sublane reduces here and the backward is
+    a pure elementwise multiply by the output cotangent.
     """
-    img_hi, img_lo = _split(img_ref[0].astype(jnp.float32), lo)
     px = px_ref[0].reshape(pblk)
     py = py_ref[0].reshape(pblk)
     x0i, y0i, wx0, wx1, wy0, wy1 = _tap_weights(px, py, h, w)
@@ -133,22 +165,18 @@ def _fwd_taps_kernel(img_ref, px_ref, py_ref, out_ref, dpx_ref, dpy_ref,
     mx0 = _bounds(x0i, 0, w - 1).astype(jnp.float32)
     mx1 = _bounds(x0i + 1, 0, w - 1).astype(jnp.float32)
 
-    a0 = _rowsel(_row_onehot(y0i, h), img_hi, img_lo)
-    a1 = _rowsel(_row_onehot(y0i + 1, h), img_hi, img_lo)
-    arow = a0 * wy0[:, None] + a1 * wy1[:, None]           # (P, W)
-
-    p = x0i.shape[0]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1)
-    c0 = (jnp.clip(x0i, 0, w - 1)[:, None] == cols).astype(jnp.float32)
-    c1 = (jnp.clip(x0i + 1, 0, w - 1)[:, None] == cols).astype(jnp.float32)
-    wc = c0 * wx0[:, None] + c1 * wx1[:, None]
+    a0, a1 = _sel_pair_t(imgt_ref, y0i, h, lo)
+    arow = a0 * wy0[None, :] + a1 * wy1[None, :]            # (W, P)
+    c0 = _onehot_t(x0i, w, jnp.float32)
+    c1 = _onehot_t(x0i + 1, w, jnp.float32)
+    wc = c0 * wx0[None, :] + c1 * wx1[None, :]              # (W, P)
 
     shp = out_ref.shape[1:]
-    out_ref[0] = jnp.sum(arow * wc, axis=1).reshape(shp)
-    dcol = c1 * mx1[:, None] - c0 * mx0[:, None]
-    dpx_ref[0] = jnp.sum(arow * dcol, axis=1).reshape(shp)
-    drow = a1 * my1[:, None] - a0 * my0[:, None]
-    dpy_ref[0] = jnp.sum(drow * wc, axis=1).reshape(shp)
+    out_ref[0] = jnp.sum(arow * wc, axis=0).reshape(shp)
+    dcol = c1 * mx1[None, :] - c0 * mx0[None, :]
+    dpx_ref[0] = jnp.sum(arow * dcol, axis=0).reshape(shp)
+    drow = a1 * my1[None, :] - a0 * my0[None, :]
+    dpy_ref[0] = jnp.sum(drow * wc, axis=0).reshape(shp)
 
 
 def _dimg_kernel(px_ref, py_ref, g_ref, dimg_ref, *, h, w, pblk):
@@ -180,7 +208,7 @@ def _dimg_kernel(px_ref, py_ref, g_ref, dimg_ref, *, h, w, pblk):
     dimg_ref[0] = dimg_ref[0] + d0 + d1
 
 
-PBLK = 1024  # 8 sublanes × 128 lanes per position block
+PBLK = 1024  # 8 lane tiles of positions per block
 
 # Interpret-mode switch (tests monkeypatch this True): runs every pallas_call
 # in this module under the pure-JAX emulator so the kernels' numerics are
@@ -202,11 +230,11 @@ def supported(img_shape, p_total) -> bool:
 
 
 def _specs(h, w):
-    img_spec = pl.BlockSpec((1, h, w), lambda i, j: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
+    imgt_spec = pl.BlockSpec((1, w, h), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, PBLK // 128, 128), lambda i, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
-    return img_spec, vec_spec
+    return imgt_spec, vec_spec
 
 
 def _as_blocks(v, b, p_total):
@@ -219,26 +247,37 @@ def _needs_lo(img2d) -> bool:
     return img2d.dtype != jnp.bfloat16
 
 
+def _grid_call(kernel, img2d, px, py, n_out):
+    b, h, w = img2d.shape
+    p_total = px.shape[1]
+    nblk = p_total // PBLK
+    imgt_spec, vec_spec = _specs(h, w)
+    shp = jax.ShapeDtypeStruct((b, p_total // 128, 128), jnp.float32)
+    imgt = jnp.swapaxes(img2d, 1, 2)  # (B, W, H) for the transposed selects
+    return pl.pallas_call(
+        kernel,
+        out_shape=shp if n_out == 1 else (shp,) * n_out,
+        grid=(b, nblk),
+        in_specs=[imgt_spec, vec_spec, vec_spec],
+        out_specs=vec_spec if n_out == 1 else (vec_spec,) * n_out,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * p_total * h * w,
+            bytes_accessed=4 * b * (h * w + (3 + n_out) * p_total),
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(imgt, _as_blocks(px, b, p_total), _as_blocks(py, b, p_total))
+
+
 def _fwd(img2d, px, py):
     """img2d [B,H,W]; px/py [B,P] absolute positions → [B,P] fp32."""
     b, h, w = img2d.shape
     p_total = px.shape[1]
-    nblk = p_total // PBLK
-    img_spec, vec_spec = _specs(h, w)
-    out = pl.pallas_call(
+    out = _grid_call(
         functools.partial(_fwd_kernel, h=h, w=w, pblk=PBLK,
                           lo=_needs_lo(img2d)),
-        out_shape=jax.ShapeDtypeStruct((b, p_total // 128, 128), jnp.float32),
-        grid=(b, nblk),
-        in_specs=[img_spec, vec_spec, vec_spec],
-        out_specs=vec_spec,
-        cost_estimate=pl.CostEstimate(
-            flops=8 * b * p_total * h * w,
-            bytes_accessed=4 * b * (h * w + 4 * p_total),
-            transcendentals=0,
-        ),
-        interpret=_INTERPRET,
-    )(img2d, _as_blocks(px, b, p_total), _as_blocks(py, b, p_total))
+        img2d, px, py, 1,
+    )
     return out.reshape(b, p_total)
 
 
@@ -255,23 +294,11 @@ def warp2d_pallas(img2d, px, py):
 def _fwd_with_taps(img2d, px, py):
     b, h, w = img2d.shape
     p_total = px.shape[1]
-    nblk = p_total // PBLK
-    img_spec, vec_spec = _specs(h, w)
-    shp = jax.ShapeDtypeStruct((b, p_total // 128, 128), jnp.float32)
-    outs = pl.pallas_call(
+    outs = _grid_call(
         functools.partial(_fwd_taps_kernel, h=h, w=w, pblk=PBLK,
                           lo=_needs_lo(img2d)),
-        out_shape=(shp,) * 3,
-        grid=(b, nblk),
-        in_specs=[img_spec, vec_spec, vec_spec],
-        out_specs=(vec_spec,) * 3,
-        cost_estimate=pl.CostEstimate(
-            flops=8 * b * p_total * h * w,
-            bytes_accessed=4 * b * (h * w + 6 * p_total),
-            transcendentals=0,
-        ),
-        interpret=_INTERPRET,
-    )(img2d, _as_blocks(px, b, p_total), _as_blocks(py, b, p_total))
+        img2d, px, py, 3,
+    )
     return tuple(o.reshape(b, p_total) for o in outs)
 
 
@@ -285,7 +312,9 @@ def _vjp_bwd(res, g):
     b, h, w = img2d.shape
     p_total = px.shape[1]
     nblk = p_total // PBLK
-    img_spec, vec_spec = _specs(h, w)
+    vec_spec = _specs(h, w)[1]
+    img_spec = pl.BlockSpec((1, h, w), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
 
     # d/dimg: kernel (DCE'd entirely when the image is a non-differentiated
     # input, the common case — warps of the raw moving image)

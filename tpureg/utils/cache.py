@@ -2,14 +2,36 @@
 
 Every CLI invocation otherwise pays a fresh 1-4 minute compile of the model
 graph (verify finding). One call at driver startup makes repeat invocations
-near-instant. Cache location: $TPUREG_CACHE_DIR or ~/.cache/tpureg-xla.
+near-instant. Cache location: $TPUREG_CACHE_DIR or ~/.cache/tpureg-xla,
+suffixed with a host-CPU fingerprint: XLA:CPU AOT results embed the compile
+machine's feature set but the cache key does NOT include it, so entries
+written on one host silently load on another with mismatched features and
+produce subtly different numerics (observed: a parity golden drifting to
+1.5e-4 after a VM migration, with cpu_aot_loader warning "machine type used
+for XLA:CPU compilation doesn't match"). Keying the directory by the host's
+CPU flags makes a migrated VM start a fresh cache instead.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
-__all__ = ["enable_compilation_cache"]
+__all__ = ["enable_compilation_cache", "host_cpu_key"]
+
+
+def host_cpu_key() -> str:
+    """Short fingerprint of the host CPU's feature flags."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
 
 
 def enable_compilation_cache(path: str | None = None) -> str:
@@ -22,6 +44,7 @@ def enable_compilation_cache(path: str | None = None) -> str:
         "TPUREG_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "tpureg-xla"),
     )
+    path = os.path.join(path, host_cpu_key())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
