@@ -315,3 +315,42 @@ def test_caffe_layers_into_params(rng):
     np.testing.assert_allclose(
         new["c1"]["kernel"], pairs[1][0].transpose(2, 3, 1, 0))
     assert any("c1" in line for line in report)
+
+
+def test_conv_transpose_phase_form_matches_dilated(rng):
+    """The full-res phase lowering == the input-dilated lowering.
+
+    TorchConvTranspose switches to a stride-1 phase-conv + depth-to-space at
+    outputs >= 256x256 (layers.py); both forms must compute identical math.
+    """
+    mod = TorchConvTranspose(3, 4, 2, 1, use_bias=True)
+    x = jnp.asarray(rng.standard_normal((2, 128, 128, 5)).astype(np.float32))
+    variables = mod.init(KEY, x)
+    got = mod.apply(variables, x)
+    assert got.shape == (2, 256, 256, 3)
+
+    k = variables["params"]["kernel"]
+    b = variables["params"]["bias"]
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+    # gradients flow through the phase-expanded kernel identically
+    def loss_mod(v):
+        return jnp.sum(mod.apply(v, x) ** 2)
+
+    def loss_dilated(v):
+        y = jax.lax.conv_general_dilated(
+            x, v["params"]["kernel"], (1, 1), ((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + v["params"]["bias"]
+        return jnp.sum(y ** 2)
+
+    g1 = jax.grad(loss_mod)(variables)["params"]["kernel"]
+    g2 = jax.grad(loss_dilated)(variables)["params"]["kernel"]
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=2e-2, rtol=1e-4)

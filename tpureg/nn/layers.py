@@ -120,6 +120,19 @@ class TorchConvTranspose(nn.Module):
     p=1 everywhere: exactly 2× upsampling). The parameter is stored in the
     equivalent-convolution layout (h, w, in, out); checkpoint import flips /
     transposes torch's (in, out, kh, kw) accordingly (compat/torch_import.py).
+
+    Full-resolution instances lower to a *phase decomposition* instead of the
+    input-dilated conv: a stride-1 3×3 conv producing the four output phases
+    as channels, followed by depth-to-space. Same math (each output pixel
+    sums the identical taps; the expanded kernel zero-pads the unused
+    phase/tap slots), but XLA's autodiff of ``lhs_dilation`` convs emits
+    full-tensor spatial ``reverse`` ops plus input-dilated gradient convs —
+    measured 5.0 → 2.6 ms fwd+VJP for the FlowNet2 fusion ``deconv0``
+    (162→16ch, 128²→256², b24 bf16) and ~1.2 ms of ``reverse`` eliminated
+    per full-res deconv. At ≤128² outputs the dilated form is equal or
+    faster (phase pays 2.25× FLOP padding), so the gate is output ≥ 256² —
+    which in FlowNet2@256² only the fusion net's top deconvs reach, so the
+    full-step effect is small (bf16 step 124.3 → 123.8 ms).
     """
 
     features: int
@@ -139,19 +152,53 @@ class TorchConvTranspose(nn.Module):
             "kernel", self.kernel_init, (k, k, in_feat, self.features), jnp.float32
         )
         dtype = self.dtype or x.dtype
-        pad = k - 1 - p
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(1, 1),
-            padding=((pad, pad), (pad, pad)),
-            lhs_dilation=(s, s),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if (k, s, p) == (4, 2, 1) and 4 * x.shape[1] * x.shape[2] >= 256 * 256:
+            y = self._phase_form(x.astype(dtype), kernel.astype(dtype))
+        else:
+            pad = k - 1 - p
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(1, 1),
+                padding=((pad, pad), (pad, pad)),
+                lhs_dilation=(s, s),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
             y = y + bias.astype(dtype)
         return y
+
+    @staticmethod
+    def _phase_form(x, kernel):
+        """Phase decomposition of ConvTranspose(4, 2, 1).
+
+        With the input-dilated form ``y[o] = Σ_k xd[o+k-2]·w[k]`` and
+        ``o = 2Y + p``: the contributing taps have ``k = 2d + 2 - p`` for
+        input offset ``d = i - Y ∈ {-1, 0, 1}`` — a 3×3 window over the
+        input grid per output phase ``p ∈ {0,1}²``.
+        """
+        b, h, wd, c = x.shape
+        n = kernel.shape[-1]
+        wp = jnp.zeros((3, 3, c, 2, 2, n), kernel.dtype)
+        for dy in range(-1, 2):
+            for py in range(2):
+                ky = 2 * dy + 2 - py
+                if not 0 <= ky < 4:
+                    continue
+                for dx in range(-1, 2):
+                    for px in range(2):
+                        kx = 2 * dx + 2 - px
+                        if not 0 <= kx < 4:
+                            continue
+                        wp = wp.at[dy + 1, dx + 1, :, py, px, :].set(
+                            kernel[ky, kx])
+        y = jax.lax.conv_general_dilated(
+            x, wp.reshape(3, 3, c, 4 * n), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y.reshape(b, h, wd, 2, 2, n).transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(b, 2 * h, 2 * wd, n)
 
 
 def _batch_norm(train: bool, dtype) -> nn.BatchNorm:
