@@ -255,3 +255,32 @@ def test_real_pairs_fused_matches_host_path(oasis_dir):
     for f, h in zip(batches(True), batches(False)):
         np.testing.assert_allclose(f["image_c"], h["image_c"], atol=1e-6)
         np.testing.assert_array_equal(f["seg_c"], h["seg_c"])
+
+
+def test_batch_specs_match_iter(oasis_dir):
+    """batch_specs + synth_image_batch (the make_train_step(synth=...) fused
+    data path) must reproduce __iter__'s batches exactly — same order, same
+    RNG stream — across shuffle and set_epoch."""
+    import jax
+
+    from tpureg.data.pipeline import SliceDataset, synth_image_batch
+
+    img_dir, seg_dir = oasis_dir
+    pairs = list_pairs(img_dir, seg_dir)
+    ds = SliceDataset(
+        VolumeSliceSource(pairs, with_seg=False, device_cache=True),
+        batch_size=4, key=jax.random.key(5), shuffle=True,
+    )
+    assert ds.supports_fused_step
+    for epoch in (0, 2):
+        ds.set_epoch(epoch)
+        for (batch, spec), _ in zip(
+            zip(iter(ds), ds.batch_specs()), range(3)
+        ):
+            got = synth_image_batch(*spec, size=ds.size,
+                                    magnitude=ds.magnitude)
+            # identical RNG + math; only eager-vs-jitted fusion rounding
+            # separates the two paths (fp32, ~1e-5)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(batch["image_c"]), atol=3e-5
+            )

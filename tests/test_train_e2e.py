@@ -229,3 +229,41 @@ def test_grad_accumulation_batch_divisibility():
     step = make_train_step(donate=False, accum_steps=2)
     with pytest.raises(ValueError):
         step(state, imgs)
+
+
+def test_synth_fused_step_matches_unfused():
+    """make_train_step(synth=...) — augmentation fused into the jitted step —
+    must produce the same loss and updated params as the standalone
+    synthesize-then-step path on the identical batch spec."""
+    from functools import partial
+
+    from tpureg.data import synth_image_batch
+
+    key = jax.random.key(7)
+    flat = jax.random.uniform(key, (16, 48, 56))  # device-resident slices
+    spec = (jax.random.key(3), flat, jnp.arange(4))
+
+    imgs = synth_image_batch(*spec, size=SIZE)
+    state, _ = _setup(batch=4)
+    # re-init on the synthesized batch shape for clean apples-to-apples
+    model = OpticalFlowReg(conv_predictor="flownets")
+    state = create_train_state(model, jax.random.key(0), imgs)
+
+    plain = make_train_step(donate=False)
+    fused = make_train_step(donate=False,
+                            synth=partial(synth_image_batch, size=SIZE))
+
+    s1, m1 = plain(state, imgs)
+    s2, m2 = fused(state, spec)
+
+    # the fused program compiles the synthesis into the step, so XLA fusion
+    # rounding separates the two paths by ~1e-5 on the inputs; Adam's
+    # first-step update is ±lr where a gradient sits near zero, bounding
+    # param disagreement at a few×lr (lr=1e-4)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4),
+        s1.params, s2.params,
+    )

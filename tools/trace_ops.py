@@ -48,8 +48,9 @@ def capture(batch, size, steps, logdir):
         state, m = step(state, batches[i % 4])
     float(m["loss"])
     jax.profiler.stop_trace()
-    (trace,) = glob.glob(os.path.join(logdir, "plugins/profile/*/*.trace.json.gz"))
-    return hlo, trace
+    traces = glob.glob(os.path.join(logdir, "plugins/profile/*/*.trace.json.gz"))
+    # a reused logdir accumulates one trace per run — take the newest
+    return hlo, max(traces, key=os.path.getmtime)
 
 
 def parse_meta(hlo_text):

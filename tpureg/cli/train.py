@@ -266,6 +266,7 @@ def main(argv=None):
     # comparison across epochs is apples-to-apples; documented deviation
     # from the reference's per-epoch val redraw).
     oasis = None
+    fused_synth = False
     if not args.synthetic:
         oasis = volume2slices_datasets(
             args.img_dir, args.seg_dir, args.batch_size, seed=args.seed,
@@ -274,6 +275,23 @@ def main(argv=None):
             # — skip the per-batch seg elastic warp + decode entirely
             with_seg=False,
         )
+        # Fuse the augmentation INTO the train step: one device program per
+        # batch (gather + elastic synthesis + fwd/bwd/update) instead of an
+        # augmentation program running serially with the step on the core.
+        # FSDP keeps the unfused path (its batch sharding hooks the
+        # materialized batch).
+        if oasis[0].supports_fused_step and not args.fsdp:
+            from functools import partial
+
+            from ..data import synth_image_batch
+
+            train_step = make_train_step(
+                compute_dtype=compute_dtype,
+                accum_steps=args.accum_steps,
+                synth=partial(synth_image_batch, size=oasis[0].size,
+                              magnitude=oasis[0].magnitude),
+            )
+            fused_synth = True
 
     def make_loaders(epoch_idx):
         if args.synthetic:
@@ -291,7 +309,9 @@ def main(argv=None):
             )
         train_ds, val_ds, test_ds, train_len, val_len = oasis
         train_ds.set_epoch(epoch_idx + 1)
-        return (prefetch_to_device(iter(train_ds)),
+        train_iter = (({"image_c": s} for s in train_ds.batch_specs())
+                      if fused_synth else iter(train_ds))
+        return (prefetch_to_device(train_iter),
                 prefetch_to_device(iter(val_ds)),
                 prefetch_to_device(iter(test_ds)), train_len, val_len)
 

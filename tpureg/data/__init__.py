@@ -8,6 +8,7 @@ from .pipeline import (
     prefetch_to_device,
     real_pairs_dataset,
     split_volumes,
+    synth_image_batch,
     volume2slices_datasets,
     volume_dataset,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "prefetch_to_device",
     "real_pairs_dataset",
     "split_volumes",
+    "synth_image_batch",
     "volume2slices_datasets",
     "volume_dataset",
     "random_pair_batch",

@@ -53,6 +53,7 @@ __all__ = [
     "real_pairs_dataset",
     "volume_dataset",
     "prefetch_to_device",
+    "synth_image_batch",
 ]
 
 CROP_Z = (60, 140)   # dataset.py:56 — 80 axial slices per volume
@@ -225,6 +226,21 @@ def _take_and_process(epoch_key, flat_img, flat_seg, idx, size: int = 256,
     return _process_synth.__wrapped__(k_aug, img, seg, size, magnitude)
 
 
+def synth_image_batch(epoch_key, flat_img, idx, size: int = 256,
+                      magnitude: Tuple[float, float] = (0.0, 0.5)):
+    """Traceable gather + prep + elastic synthesis → ``image_c`` [B,S,S,2].
+
+    The fused-into-step data path: ``make_train_step(synth=...)`` calls this
+    *inside* the jitted train step on a ``(epoch_key, flat_img, idx)`` spec
+    from ``SliceDataset.batch_specs()``, so the per-batch augmentation
+    program stops being a separate device dispatch that runs serially with
+    the step on the single core. Identical math (and RNG stream) to the
+    standalone ``_take_and_process`` path."""
+    out = _take_and_process.__wrapped__(epoch_key, flat_img, None, idx,
+                                        size, magnitude)
+    return out["image_c"]
+
+
 @partial(jax.jit, static_argnames=("size",))
 def _take_and_process_real(flat_fi, flat_mi, flat_fs, flat_ms, idx,
                            size: int = 256):
@@ -276,7 +292,10 @@ class SliceDataset:
         whole run instead of being rebuilt (and re-uploaded) every epoch."""
         self.epoch = epoch
 
-    def __iter__(self) -> Iterator[Dict[str, jnp.ndarray]]:
+    def _epoch_plan(self):
+        """(epoch_key, order_arr, shuffled) for the current epoch — the RNG
+        derivation shared by ``__iter__`` and ``batch_specs`` so the fused
+        and standalone paths draw identical augmentations."""
         key = (jax.random.fold_in(self.key, self.epoch) if self.epoch
                else self.key)
         order = None
@@ -285,8 +304,35 @@ class SliceDataset:
             order = np.asarray(
                 jax.random.permutation(k_perm, len(self.source))
             )
+        n = len(self.source)
+        return key, (np.arange(n) if order is None else order), order is not None
+
+    @property
+    def supports_fused_step(self) -> bool:
+        """True when ``batch_specs()`` can feed a ``synth=``-fused train
+        step: device-resident cache, image-only (the train loop never reads
+        ``seg_c``), and at least one full batch."""
+        return (self.source.device_cache and not self.source.with_seg
+                and len(self.source) >= self.batch_size)
+
+    def batch_specs(self) -> Iterator[tuple]:
+        """Yield ``(epoch_key, flat_img, idx)`` specs for in-step synthesis
+        (``pipeline.synth_image_batch`` via ``make_train_step(synth=...)``).
+        Same batches/RNG as ``__iter__``'s fused branch — only *where* the
+        synthesis program runs differs (inside the step vs standalone)."""
+        if not self.supports_fused_step:
+            raise ValueError("batch_specs() needs device_cache, "
+                             "with_seg=False, and >= one full batch")
+        key, order_arr, _ = self._epoch_plan()
+        flat_i, _ = self.source.flat_stacks()
         n, bs = len(self.source), self.batch_size
-        order_arr = np.arange(n) if order is None else np.asarray(order)
+        for start in range(0, n - bs + 1, bs):
+            yield key, flat_i, jnp.asarray(order_arr[start:start + bs])
+
+    def __iter__(self) -> Iterator[Dict[str, jnp.ndarray]]:
+        key, order_arr, shuffled = self._epoch_plan()
+        order = order_arr if shuffled else None
+        n, bs = len(self.source), self.batch_size
         # Per-batch augmentation key = fold_in(epoch key, first slice index
         # of the batch) — unique per batch within an epoch (the order is a
         # permutation), reproducible, and free of a per-batch host-side

@@ -50,6 +50,7 @@ def make_train_step(
     compute_dtype: Optional[jnp.dtype] = None,
     remat: Optional[str] = None,
     accum_steps: int = 1,
+    synth: Optional[callable] = None,
 ):
     """Fused train step. ``compute_dtype=jnp.bfloat16`` enables TPU-native
     mixed precision: master params stay fp32 (Adam state, BN stats too — the
@@ -70,6 +71,13 @@ def make_train_step(
     longer bounded by per-chip HBM. BatchNorm statistics thread through the
     microbatches sequentially (each sees the running stats its predecessor
     produced). Loss metrics are microbatch means.
+
+    ``synth`` fuses the data pipeline into the step: when set, the step's
+    second argument is a spec tuple (e.g. ``SliceDataset.batch_specs()``'s
+    ``(epoch_key, flat_img, idx)``) and ``imgs = synth(*spec)`` is computed
+    inside the jitted program — one device dispatch per batch covering
+    gather + augmentation + forward/backward/update, instead of a separate
+    augmentation program running serially with the step.
     """
     loss_kwargs = loss_kwargs or {}
     if remat not in (None, "full", "dots"):
@@ -79,6 +87,8 @@ def make_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state, imgs):
+        if synth is not None:
+            imgs = synth(*imgs)
         apply_fn = state.apply_fn
 
         def forward(params, batch_stats, imgs_c):
