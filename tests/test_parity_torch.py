@@ -12,12 +12,15 @@ layout transposes, and (c) numerics (LeakyReLU/BN/ConvTranspose semantics)
 agree to ≤5e-4 abs / 1e-3 rel (pure fp32
 accumulation-order noise across backends — see _assert_flows_match).
 
-Covered nets (all runnable without CUDA ops):
+Covered nets:
 - FlowNetS package net (FlowNetS/FlowNetS.py:10-93, pinard style)
 - flownet2.networks.FlowNetS (6-ch cascade block, :15-94)
 - flownet2.networks.FlowNetSD (:11-106)
 - flownet2.networks.FlowNetFusion (:11-66)
 - models.py local flowNetS (:58-153, full-resolution 7-flow decoder)
+- flownet2.networks.FlowNetC (:13-130) — via pure-torch CUDA-op stand-ins
+- the FULL FlowNet2 cascade (flownet2/models.py:31-191) — same stand-ins
+- PWCDCNet + PWCDCNet_old (PWC/models/PWCNet.py:38-496)
 
 Skipped wholesale when /root/reference or torch is unavailable.
 """
@@ -150,7 +153,8 @@ def _flax_forward(flax_model, variables, x_nhwc, train):
     return flax_model.apply(variables, x_nhwc, train=False)
 
 
-def _assert_flows_match(torch_flows, flax_flows, atol=5e-4, what=""):
+def _assert_flows_match(torch_flows, flax_flows, atol=5e-4, rtol=1e-3,
+                        what=""):
     # Tolerance: pure fp32 accumulation-order noise between torch/MKL and
     # XLA:CPU through 6+ conv+BN(train) layers measures up to ~2e-4 abs /
     # ~1e-3 rel at the coarsest flow scales (host-dependent; tightens to
@@ -168,13 +172,13 @@ def _assert_flows_match(torch_flows, flax_flows, atol=5e-4, what=""):
         f = np.asarray(f).transpose(0, 3, 1, 2)  # NHWC → NCHW
         assert t.shape == f.shape, f"{what} flow{i}: {t.shape} vs {f.shape}"
         np.testing.assert_allclose(
-            t, f, atol=atol, rtol=1e-3,
+            t, f, atol=atol, rtol=rtol,
             err_msg=f"{what} flow index {i} (mode mismatch)",
         )
 
 
 def _run_parity(torch_model, flax_model, in_ch, train, atol=5e-4,
-                size=64, skip_torch_idx=(), skip_flax_idx=()):
+                rtol=1e-3, size=64, skip_torch_idx=(), skip_flax_idx=()):
     torch.manual_seed(0)
     torch_model = torch_model.train(train)
     x = np.random.default_rng(1).standard_normal(
@@ -194,7 +198,7 @@ def _run_parity(torch_model, flax_model, in_ch, train, atol=5e-4,
     f_out = [o for i, o in enumerate(
         f_out if isinstance(f_out, (tuple, list)) else (f_out,))
         if i not in skip_flax_idx]
-    _assert_flows_match(t_out, f_out, atol=atol,
+    _assert_flows_match(t_out, f_out, atol=atol, rtol=rtol,
                         what=type(torch_model).__name__)
     return variables
 
@@ -281,3 +285,196 @@ def test_parity_local_flownets_full(ref_models_py, train):
     tm = ref_models_py.flowNetS(batchNorm=False)
     fm = FlowNetSFull(use_bn=False)
     _run_parity(tm, fm, in_ch=2, train=train)
+
+
+# ---------------------------------------------------------------------------
+# full-graph parity: FlowNet2 cascade / FlowNetC / PWC nets.
+#
+# The reference's correlation/resample/channelnorm live in external CUDA
+# packages (SURVEY.md §2.2) that cannot run here. To execute the reference's
+# ACTUAL model graphs (flownet2/models.py:31-191, networks/FlowNetC.py:13-130,
+# PWC/models/PWCNet.py:38-496) in CPU torch, the three packages are replaced
+# by pure-torch stand-ins implementing the documented op contracts:
+#
+# - Correlation(pad=md, k=1, s1=1, s2): K=2*(md//s2)+1 per axis,
+#   corr(x, d) = sum_c f1(x)·f2(x+d) / C  (flownet2/networks/FlowNetC.py:28-31)
+# - Resample2d: bilinear backward-warp at absolute pixel positions xy+flow,
+#   zero contribution from out-of-bounds taps (flownet2/models.py:139,151,...)
+# - ChannelNorm: per-pixel L2 norm over channels (flownet2/models.py:40)
+#
+# These stand-ins are written against the op contract, independently of
+# tpureg's jnp/Pallas implementations — so an end-to-end match is two
+# independent derivations of the same graph agreeing, not a tautology.
+
+import torch.nn as _tnn
+import torch.nn.functional as _F
+
+
+class _TorchCorrelation(_tnn.Module):
+    def __init__(self, pad_size=0, kernel_size=0, max_displacement=0,
+                 stride1=1, stride2=1, corr_multiply=1):
+        super().__init__()
+        assert kernel_size in (0, 1) and stride1 == 1 and corr_multiply == 1
+        assert pad_size == max_displacement
+        self.md, self.s2 = max_displacement, stride2
+
+    def forward(self, f1, f2):
+        _, c, h, w = f1.shape
+        k = 2 * (self.md // self.s2) + 1
+        f2p = _F.pad(f2, (self.md,) * 4)
+        outs = []
+        for iy in range(k):
+            for ix in range(k):
+                sh = f2p[:, :, iy * self.s2:iy * self.s2 + h,
+                         ix * self.s2:ix * self.s2 + w]
+                outs.append((f1 * sh).sum(1))
+        return torch.stack(outs, 1) / c
+
+
+class _TorchResample2d(_tnn.Module):
+    def forward(self, img, flow):
+        b, c, h, w = img.shape
+        xs = torch.arange(w, dtype=torch.float32).view(1, 1, w)
+        ys = torch.arange(h, dtype=torch.float32).view(1, h, 1)
+        # align_corners=True maps [-1, 1] linearly onto [0, size-1], so
+        # gx = 2*px/(W-1) - 1 samples exactly at pixel position px.
+        gx = 2.0 * (xs + flow[:, 0]) / max(w - 1, 1) - 1.0
+        gy = 2.0 * (ys + flow[:, 1]) / max(h - 1, 1) - 1.0
+        grid = torch.stack([gx, gy], dim=-1)
+        return _F.grid_sample(img, grid, mode="bilinear",
+                              padding_mode="zeros", align_corners=True)
+
+
+class _TorchChannelNorm(_tnn.Module):
+    def forward(self, x):
+        return torch.norm(x, 2, dim=1, keepdim=True)
+
+
+def _install_cuda_stub_modules():
+    """Insert the stand-ins under every module path the reference imports
+    them from. Returns {name: previous sys.modules entry} for restoration."""
+    entries = {}
+    for root in ("flownet2.networks.", ""):
+        entries[root + "correlation_package"] = {}
+        entries[root + "correlation_package.correlation"] = {
+            "Correlation": _TorchCorrelation}
+        entries[root + "resample2d_package"] = {}
+        entries[root + "resample2d_package.resample2d"] = {
+            "Resample2d": _TorchResample2d}
+        entries[root + "channelnorm_package"] = {}
+        entries[root + "channelnorm_package.channelnorm"] = {
+            "ChannelNorm": _TorchChannelNorm}
+    saved = {n: sys.modules.get(n) for n in entries}
+    for name, attrs in entries.items():
+        mod = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+    return saved
+
+
+def _restore_modules(saved):
+    for n, prev in saved.items():
+        if prev is None:
+            sys.modules.pop(n, None)
+        else:
+            sys.modules[n] = prev
+
+
+@pytest.fixture(scope="module")
+def ref_cascade():
+    """Reference flownet2.models + networks.FlowNetC with CUDA stand-ins."""
+    saved = _install_cuda_stub_modules()
+    try:
+        def load():
+            import flownet2.models as fn2_models
+            import flownet2.networks.FlowNetC as fnc
+            return {"models": fn2_models, "FlowNetC": fnc}
+
+        yield _with_ref_path(load)
+    finally:
+        _restore_modules(saved)
+
+
+@pytest.fixture(scope="module")
+def ref_pwc():
+    """Reference PWC/models/PWCNet.py loaded with the Correlation stand-in."""
+    import importlib.util
+
+    saved = _install_cuda_stub_modules()
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "tpureg_test_ref_pwcnet",
+            os.path.join(REF, "PWC", "models", "PWCNet.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        yield mod
+    finally:
+        _restore_modules(saved)
+
+
+def _fn2_args():
+    return types.SimpleNamespace(fp16=False, rgb_max=1.0, grads={})
+
+
+@pytest.mark.parametrize("train", [True, False], ids=["train", "eval"])
+def test_parity_flownetc_full(ref_cascade, train):
+    """flownet2.networks.FlowNetC (:13-130): 441-ch correlation cost volume,
+    conv_redir merge, biased upsample-flow deconvs."""
+    from tpureg.models import FlowNetC
+
+    tm = ref_cascade["FlowNetC"].FlowNetC(_fn2_args(), batchNorm=True)
+    fm = FlowNetC(use_bn=True)
+    _run_parity(tm, fm, in_ch=2, train=train)
+
+
+@pytest.mark.parametrize("train", [True, False], ids=["train", "eval"])
+def test_parity_flownet2_cascade(ref_cascade, train):
+    """The flagship: full FlowNet2 C→S→S ∥ SD→Fusion cascade
+    (flownet2/models.py:121-191) — exercises correlation, 4 resample warps,
+    6 channelnorms, div_flow scalings, bilinear/nearest ×4 upsamplings and
+    the 9-channel fusion stack end-to-end against the reference graph."""
+    from tpureg.models import FlowNet2
+
+    tm = ref_cascade["models"].FlowNet2(_fn2_args(), batchNorm=True)
+    fm = FlowNet2(use_bn=True)
+    # Eval mode matches at 1e-3 like the single blocks. Train mode pays
+    # extra fp32 noise amplification: every BN normalizes by freshly
+    # computed batch stats, so tiny upstream deltas are re-scaled at each
+    # of ~50 BN layers across 5 chained subnets, and the inter-block flows
+    # are ×20-amplified through warps in between (measured max |d| 7e-3,
+    # 89% of elements still within 1e-3). A structural mismatch produces
+    # O(1) deltas, so 2e-2 absolute keeps full discriminating power.
+    if train:
+        _run_parity(tm, fm, in_ch=2, train=True, atol=2e-2, rtol=0)
+    else:
+        _run_parity(tm, fm, in_ch=2, train=False, atol=1e-3)
+
+
+@pytest.mark.parametrize("train", [True, False], ids=["train", "eval"])
+def test_parity_pwcdcnet(ref_cascade, ref_pwc, train, monkeypatch):
+    """Grayscale PWCDCNet (PWC/models/PWCNet.py:38-279): 5 warp+81-ch-corr
+    pyramid levels, dense decoders, context net, flow1/flow0 deconvs."""
+    from tpureg.models import PWCDCNet
+
+    # warp() builds its validity mask with an unconditional .cuda()
+    # (PWCNet.py:170); neutralize so the reference forward runs on CPU.
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    tm = ref_pwc.PWCDCNet(md=4)
+    fm = PWCDCNet(md=4)
+    _run_parity(tm, fm, in_ch=2, train=train)
+
+
+@pytest.mark.parametrize("train", [True, False], ids=["train", "eval"])
+def test_parity_pwcdcnet_old(ref_cascade, ref_pwc, train, monkeypatch):
+    """Legacy PWCDCNet_old (PWC/models/PWCNet.py:282-496), RGB-pair input."""
+    from tpureg.models import PWCDCNetOld
+
+    # The old net's warp builds its validity mask with an unconditional
+    # .cuda() (PWCNet.py:403); neutralize so the reference's own forward
+    # runs on CPU torch.
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    tm = ref_pwc.PWCDCNet_old(md=4)
+    fm = PWCDCNetOld(md=4)
+    _run_parity(tm, fm, in_ch=6, train=train)

@@ -42,11 +42,16 @@ class PWCDCNet(nn.Module):
                              kernel_init=_kaiming, name=name)
 
         # --- siamese feature pyramid (levels 1..6)
+        # Levels 1-5 apply convNa (stride 2) then convNaa (PWCNet.py:186-195);
+        # level 6 is the reference's naming quirk: conv6aa is the stride-2
+        # conv applied FIRST, then conv6a (:65-66, :196) — preserved so torch
+        # checkpoints map name-for-name.
         feats = (16, 32, 64, 96, 128, 196)
         stages = []
         for lvl, f in enumerate(feats, start=1):
+            first, second = (("a", "aa") if lvl < 6 else ("aa", "a"))
             stages.append(
-                (conv(f, f"conv{lvl}a", s=2), conv(f, f"conv{lvl}aa"),
+                (conv(f, f"conv{lvl}{first}", s=2), conv(f, f"conv{lvl}{second}"),
                  conv(f, f"conv{lvl}b"))
             )
 
@@ -108,6 +113,13 @@ class PWCDCNet(nn.Module):
 
         flow1 = up2(flow2, 2, "deconv2")
         flow0 = up2(flow1, 2, "deconv1")
+        # The reference also constructs self.deconv0 — ConvTranspose(2, 2,
+        # k=4, s=4, p=0) — whose only use is commented out (:126, :274).
+        # Materialized (and discarded) so torch checkpoint layouts import
+        # without unmatched keys, same treatment as PWCDCNetOld's dead
+        # deconv2 (:360).
+        _ = TorchConvTranspose(2, 4, 4, 0, use_bias=True,
+                               kernel_init=_kaiming, name="deconv0")(flow2)
         return (flow0, flow1, flow2, flows[3], flows[4], flows[5], flows[6])
 
 
@@ -126,9 +138,9 @@ class PWCDCNetOld(nn.Module):
     - no flow1/flow0 output deconvs: training returns
       ``(flow2, flow3, flow4, flow5, flow6)`` (:494), eval returns the bare
       ``flow2`` tensor (:496);
-    - in-model warp with validity mask (:377-409; mask threshold 0.999 vs the
-      new net's 0.9999 — sub-1e-3 of boundary pixels differ, we use the shared
-      'pwc' convention).
+    - in-model warp with validity mask (:377-409): shared 'pwc' convention
+      with the old net's mask threshold 0.999 (:405) instead of the new
+      net's 0.9999.
 
     Dead code in the reference (never constructed by any driver; loader
     ``pwc_dc_net_old`` :511-519 exists but is uncalled) — ported for full
@@ -193,7 +205,8 @@ class PWCDCNetOld(nn.Module):
         flows = {6: flow6}
         for lvl in (5, 4, 3, 2):
             c1, c2 = p1[lvl - 1], p2[lvl - 1]
-            warped = warp2d(c2, up_flow * scales[lvl], convention="pwc")
+            warped = warp2d(c2, up_flow * scales[lvl], convention="pwc",
+                            mask_threshold=0.999)
             y = jnp.concatenate([corr(c1, warped), c1, up_flow, up_feat],
                                 axis=-1)
             y, flow = dense_decoder(y, lvl)

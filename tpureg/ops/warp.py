@@ -129,13 +129,16 @@ def sample2d_nearest(img, px, py):
     return vals.reshape(*xi.shape, c) * inb[..., None].astype(img.dtype)
 
 
-def warp2d(img, flow, convention: str = "stn", return_mask: bool = False):
+def warp2d(img, flow, convention: str = "stn", return_mask: bool = False,
+           mask_threshold: float = 0.9999):
     """Backward-warp NHWC ``img`` by flow ``[B, H, W, 2]`` (x, y displacement).
 
     ``convention`` selects the reference grid convention (module docstring).
     For 'pwc', the output is always multiplied by the thresholded validity
     mask (PWCNet.py:169-179); with ``return_mask=True`` the call returns
     ``(masked_output, mask)`` so callers can reuse the mask.
+    ``mask_threshold`` is the validity cutoff — 0.9999 for the new PWCDCNet
+    (:169), 0.999 for PWCDCNet_old's in-model warp (:405).
     """
     b, h, w, _ = flow.shape
     grid = base_grid(h, w, jnp.float32)
@@ -157,7 +160,7 @@ def warp2d(img, flow, convention: str = "stn", return_mask: bool = False):
         out = sample2d(img, px, py)
         ones = jnp.ones_like(img)
         mask = sample2d(ones, px, py)
-        mask = jnp.where(mask < 0.9999, 0.0, 1.0).astype(img.dtype)
+        mask = jnp.where(mask < mask_threshold, 0.0, 1.0).astype(img.dtype)
         out = out * mask
     elif convention == "pixel":
         # flownet2 Resample2d: direct pixel displacement, zero OOB taps

@@ -21,12 +21,27 @@ __all__ = ["enable_compilation_cache", "host_cpu_key"]
 
 
 def host_cpu_key() -> str:
-    """Short fingerprint of the host CPU's feature flags."""
+    """Short fingerprint of the host CPU's identity + feature flags.
+
+    The feature-flags line alone is NOT enough: LLVM derives machine
+    features (e.g. +prefer-no-scatter/+prefer-no-gather scheduling
+    preferences) from the CPU *model*, so two hosts with identical cpuinfo
+    flags can still produce AOT entries the other refuses cleanly — or
+    worse, loads with drifted numerics. Hash the vendor/family/model/
+    stepping/model-name lines plus flags.
+    """
+    keys = ("vendor_id", "cpu family", "model", "stepping", "model name",
+            "flags")
     try:
+        parts = {}
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+                name = line.split(":", 1)[0].strip()
+                if name in keys and name not in parts:
+                    parts[name] = line.strip()
+        if parts:
+            blob = "\n".join(parts[k] for k in keys if k in parts)
+            return hashlib.sha1(blob.encode()).hexdigest()[:10]
     except OSError:
         pass
     import platform
