@@ -40,10 +40,17 @@ __all__ = ["FlowNet2", "FlowNet2C", "FlowNet2S", "FlowNet2SD", "FlowNet2CS",
 class FlowNet2(nn.Module):
     use_bn: bool = True
     div_flow: float = 20.0
+    # None = auto: plane/packed glue at ≥256² even dims (see _call_packed)
+    packed: "bool | None" = None
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         b, h, w, _ = x.shape
+        packed = self.packed
+        if packed is None:
+            packed = h * w >= 256 * 256 and h % 2 == 0 and w % 2 == 0
+        if packed:
+            return self._call_packed(x, train)
         x1 = x[..., 0:1]
         x2 = x[..., 1:2]
 
@@ -92,6 +99,83 @@ class FlowNet2(nn.Module):
             [x1, flow_sd, flow_s2, norm_sd, norm_s2, err_sd, err_s2], axis=-1
         )
         flow_fused = FlowNetFusion(use_bn=self.use_bn,
+                                   name="flownetfusion")(concat3, train)
+
+        return (flow_fused, flow_fused)
+
+    def _call_packed(self, x, train):
+        """Identical cascade, full-res glue on dense rank-3 planes.
+
+        At 256² every inter-subnet tensor is 1–6 channels; in NHWC each
+        pays lane padding to 128 on every HBM pass (402 MB physical for a
+        3 MB plane — ops/planes.py rationale). Here the glue (upsample ×
+        div_flow, Resample2d warps, channelnorms) runs on ``[B, H, W]``
+        planes at dense bandwidth, subnets consume space-to-depth packed
+        stem inputs (nn/packed.py lowerings — same parameters, same math),
+        and the fusion tail stays packed end-to-end. Same graph as the
+        NHWC path (equivalence-tested, tests/test_packed.py); parameter
+        trees are identical, so checkpoints are path-independent.
+        """
+        from ..ops.planes import (
+            channelnorm_planes,
+            pack_planes,
+            resize_plane,
+            warp_plane,
+        )
+
+        b, h, w, _ = x.shape
+        x1 = x[..., 0]  # planes [B, H, W]
+        x2 = x[..., 1]
+        xp = pack_planes([x1, x2])
+
+        def up4_planes(flow2, scale, method):
+            """¼-res NHWC flow → full-res (fx, fy) planes, ×scale first."""
+            f = flow2 * scale
+            return (resize_plane(f[..., 0], (h, w), method),
+                    resize_plane(f[..., 1], (h, w), method))
+
+        # --- block 1: FlowNetC
+        flow_c2 = FlowNetC(use_bn=self.use_bn, packed_input=True,
+                           name="flownetc")(xp, train)[0]
+        fcx, fcy = up4_planes(flow_c2, self.div_flow, "bilinear")
+
+        warped1 = warp_plane(x2, fcx, fcy)
+        err1 = channelnorm_planes([x1 - warped1])
+        concat1 = pack_planes([x1, x2, warped1, fcx / self.div_flow,
+                               fcy / self.div_flow, err1])
+
+        # --- block 2: FlowNetS1
+        flow_s1_2 = FlowNetS(input_channels=6, use_bn=self.use_bn,
+                             style="nvidia", packed_input=True,
+                             name="flownets_1")(concat1, train)[0]
+        fs1x, fs1y = up4_planes(flow_s1_2, self.div_flow, "bilinear")
+
+        warped2 = warp_plane(x2, fs1x, fs1y)
+        err2 = channelnorm_planes([x1 - warped2])
+        concat2 = pack_planes([x1, x2, warped2, fs1x / self.div_flow,
+                               fs1y / self.div_flow, err2])
+
+        # --- block 3: FlowNetS2 (nearest ×4, reference quirk :160)
+        flow_s2_2 = FlowNetS(input_channels=6, use_bn=self.use_bn,
+                             style="nvidia", packed_input=True,
+                             name="flownets_2")(concat2, train)[0]
+        fs2x, fs2y = up4_planes(flow_s2_2, self.div_flow, "nearest")
+        norm_s2 = channelnorm_planes([fs2x, fs2y])
+        warped_s2 = warp_plane(x2, fs2x, fs2y)
+        err_s2 = channelnorm_planes([x1 - warped_s2])
+
+        # --- block 4: FlowNetSD branch (flow divided, not multiplied — :173)
+        flow_sd_2 = FlowNetSD(use_bn=self.use_bn, packed_input=True,
+                              name="flownets_d")(xp, train)[0]
+        fsdx, fsdy = up4_planes(flow_sd_2, 1.0 / self.div_flow, "nearest")
+        norm_sd = channelnorm_planes([fsdx, fsdy])
+        warped_sd = warp_plane(x2, fsdx, fsdy)
+        err_sd = channelnorm_planes([x1 - warped_sd])
+
+        # --- block 5: fusion (9-channel stack, :185) — stays packed
+        concat3 = pack_planes([x1, fsdx, fsdy, fs2x, fs2y, norm_sd, norm_s2,
+                               err_sd, err_s2])
+        flow_fused = FlowNetFusion(use_bn=self.use_bn, packed_in=True,
                                    name="flownetfusion")(concat3, train)
 
         return (flow_fused, flow_fused)

@@ -28,6 +28,7 @@ class FlowNetC(nn.Module):
     use_bn: bool = True
     max_displacement: int = 20
     corr_stride: int = 2
+    packed_input: bool = False  # x is nn/packed.py layout (2ch → 8 packed)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
@@ -39,10 +40,19 @@ class FlowNetC(nn.Module):
                 bias_init=b_init, name=name,
             )
 
-        x1 = x[..., 0:1]
-        x2 = x[..., 1:2]
+        if self.packed_input:
+            from ..nn.packed import PackedConvBlock
 
-        conv1 = block(64, 7, 2, "conv1")
+            # C-major packed channels: 0-3 = x1 phases, 4-7 = x2 phases
+            x1 = x[..., 0:4]
+            x2 = x[..., 4:8]
+            conv1 = PackedConvBlock(64, 2, 7, use_bn=self.use_bn,
+                                    kernel_init=k_init, bias_init=b_init,
+                                    name="conv1")
+        else:
+            x1 = x[..., 0:1]
+            x2 = x[..., 1:2]
+            conv1 = block(64, 7, 2, "conv1")
         conv2 = block(128, 5, 2, "conv2")
         conv3 = block(256, 5, 2, "conv3")
 

@@ -48,8 +48,16 @@ def _style_inits(style: str):
     raise ValueError(f"unknown FlowNetS style: {style}")
 
 
-def flownet_s_encoder(x, train, use_bn, k_init, b_init):
-    """conv1..conv6_1 pyramid shared by FlowNetS variants. Returns levels 1-6."""
+def flownet_s_encoder(x, train, use_bn, k_init, b_init,
+                      packed_input: bool = False):
+    """conv1..conv6_1 pyramid shared by FlowNetS variants. Returns levels 1-6.
+
+    ``packed_input=True``: ``x`` is the space-to-depth packed layout
+    (nn/packed.py) and conv1 consumes it directly via the k7 stride-2
+    lowering — same parameters, same math, no fine-layout materialization
+    of the padded full-res input (C ≤ 6 at 256² costs 4× its logical HBM
+    traffic in NHWC). c1 and everything after are unaffected (fine NHWC).
+    """
 
     def block(feat, k, s, name):
         return ConvBlock(
@@ -57,7 +65,13 @@ def flownet_s_encoder(x, train, use_bn, k_init, b_init):
             name=name,
         )
 
-    c1 = block(64, 7, 2, "conv1")(x, train)
+    if packed_input:
+        from ..nn.packed import PackedConvBlock
+
+        c1 = PackedConvBlock(64, 2, 7, use_bn=use_bn, kernel_init=k_init,
+                             bias_init=b_init, name="conv1")(x, train)
+    else:
+        c1 = block(64, 7, 2, "conv1")(x, train)
     c2 = block(128, 5, 2, "conv2")(c1, train)
     c3 = block(256, 5, 2, "conv3")(c2, train)
     c3 = block(256, 3, 1, "conv3_1")(c3, train)
@@ -114,6 +128,7 @@ class FlowNetS(nn.Module):
     input_channels: int = 2
     use_bn: bool = True
     style: str = "pinard"
+    packed_input: bool = False  # x is nn/packed.py layout (nvidia only)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
@@ -121,9 +136,12 @@ class FlowNetS(nn.Module):
         # Both variants use unbiased upsample-flow deconvs here
         # (FlowNetS/FlowNetS.py:39-42; flownet2/networks/FlowNetS.py:42-45).
         upflow_bias = False
+        assert not (self.packed_input and self.style == "pinard"), \
+            "pinard flow0 needs the fine input size"
 
         _, c2, c3, c4, c5, c6 = flownet_s_encoder(
-            x, train, self.use_bn, k_init, b_init
+            x, train, self.use_bn, k_init, b_init,
+            packed_input=self.packed_input,
         )
 
         flow6 = predict_flow(

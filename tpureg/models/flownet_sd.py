@@ -28,6 +28,7 @@ __all__ = ["FlowNetSD"]
 
 class FlowNetSD(nn.Module):
     use_bn: bool = True
+    packed_input: bool = False  # x is nn/packed.py layout
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
@@ -39,8 +40,19 @@ class FlowNetSD(nn.Module):
                 bias_init=b_init, name=name,
             )
 
-        c0 = block(64, 3, 1, "conv0")(x, train)
-        c1 = block(64, 3, 2, "conv1")(c0, train)
+        if self.packed_input:
+            from ..nn.packed import PackedConvBlock
+
+            # conv0 stays packed (resident), conv1 consumes packed → fine
+            c0 = PackedConvBlock(64, 1, use_bn=self.use_bn,
+                                 kernel_init=k_init, bias_init=b_init,
+                                 name="conv0")(x, train)
+            c1 = PackedConvBlock(64, 2, use_bn=self.use_bn,
+                                 kernel_init=k_init, bias_init=b_init,
+                                 name="conv1")(c0, train)
+        else:
+            c0 = block(64, 3, 1, "conv0")(x, train)
+            c1 = block(64, 3, 2, "conv1")(c0, train)
         c1 = block(128, 3, 1, "conv1_1")(c1, train)
         c2 = block(128, 3, 2, "conv2")(c1, train)
         c2 = block(128, 3, 1, "conv2_1")(c2, train)

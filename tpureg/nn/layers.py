@@ -143,6 +143,7 @@ class TorchConvTranspose(nn.Module):
     kernel_init: Callable = init_kaiming_leaky(0.1)
     bias_init: Callable = nn.initializers.zeros_init()
     dtype: Optional[jnp.dtype] = None
+    packed_out: bool = False  # emit space-to-depth packed output (nn/packed.py)
 
     @nn.compact
     def __call__(self, x):
@@ -152,7 +153,11 @@ class TorchConvTranspose(nn.Module):
             "kernel", self.kernel_init, (k, k, in_feat, self.features), jnp.float32
         )
         dtype = self.dtype or x.dtype
-        if (k, s, p) == (4, 2, 1) and 4 * x.shape[1] * x.shape[2] >= 256 * 256:
+        if self.packed_out:
+            assert (k, s, p) == (4, 2, 1), "packed_out requires the phase form"
+            y = self._phase_form(x.astype(dtype), kernel.astype(dtype),
+                                 packed=True)
+        elif (k, s, p) == (4, 2, 1) and 4 * x.shape[1] * x.shape[2] >= 256 * 256:
             y = self._phase_form(x.astype(dtype), kernel.astype(dtype))
         else:
             pad = k - 1 - p
@@ -166,21 +171,29 @@ class TorchConvTranspose(nn.Module):
             )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
-            y = y + bias.astype(dtype)
+            b = bias.astype(dtype)
+            if self.packed_out:
+                b = jnp.tile(b[:, None], (1, 4)).reshape(-1)
+            y = y + b
         return y
 
     @staticmethod
-    def _phase_form(x, kernel):
+    def _phase_form(x, kernel, packed: bool = False):
         """Phase decomposition of ConvTranspose(4, 2, 1).
 
         With the input-dilated form ``y[o] = Σ_k xd[o+k-2]·w[k]`` and
         ``o = 2Y + p``: the contributing taps have ``k = 2d + 2 - p`` for
         input offset ``d = i - Y ∈ {-1, 0, 1}`` — a 3×3 window over the
         input grid per output phase ``p ∈ {0,1}²``.
+
+        ``packed=True`` skips the final depth-to-space and emits the
+        C-major packed layout of nn/packed.py (channel ``c*4 + py*2+px``)
+        at the input resolution — the packed fusion tail consumes it
+        directly, so the upsampled tensor never materializes in fine NHWC.
         """
         b, h, wd, c = x.shape
         n = kernel.shape[-1]
-        wp = jnp.zeros((3, 3, c, 2, 2, n), kernel.dtype)
+        wp = jnp.zeros((3, 3, c, n, 2, 2), kernel.dtype)
         for dy in range(-1, 2):
             for py in range(2):
                 ky = 2 * dy + 2 - py
@@ -191,13 +204,15 @@ class TorchConvTranspose(nn.Module):
                         kx = 2 * dx + 2 - px
                         if not 0 <= kx < 4:
                             continue
-                        wp = wp.at[dy + 1, dx + 1, :, py, px, :].set(
+                        wp = wp.at[dy + 1, dx + 1, :, :, py, px].set(
                             kernel[ky, kx])
         y = jax.lax.conv_general_dilated(
             x, wp.reshape(3, 3, c, 4 * n), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        y = y.reshape(b, h, wd, 2, 2, n).transpose(0, 1, 3, 2, 4, 5)
+        if packed:
+            return y  # [b, h, wd, 4n], C-major phases
+        y = y.reshape(b, h, wd, n, 2, 2).transpose(0, 1, 4, 2, 5, 3)
         return y.reshape(b, 2 * h, 2 * wd, n)
 
 
@@ -298,6 +313,7 @@ class Deconv(nn.Module):
     kernel_init: Callable = init_kaiming_leaky(0.1)
     bias_init: Callable = nn.initializers.zeros_init()
     dtype: Optional[jnp.dtype] = None
+    packed_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -307,6 +323,7 @@ class Deconv(nn.Module):
             kernel_init=self.kernel_init,
             bias_init=self.bias_init,
             dtype=self.dtype,
+            packed_out=self.packed_out,
             name="convt",
         )(x)
         return nn.leaky_relu(y, 0.1)
