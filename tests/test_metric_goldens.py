@@ -114,7 +114,91 @@ def test_ssim_golden_value():
 
 
 # ---------------------------------------------------------------------------
-# boundary extraction delta vs the reference's find_contours-based points
+# marching-squares find_contours (metrics/contours.py): reference-exact
+# boundary extraction (utils.py:155-170)
+
+def test_find_contours_skimage_doctest_golden():
+    """The published skimage.measure.find_contours doctest: a single corner
+    pixel yields one open two-point contour."""
+    from tpureg.metrics.contours import find_contours
+
+    a = np.zeros((3, 3))
+    a[0, 0] = 1
+    (c,) = find_contours(a, 0.5)
+    np.testing.assert_allclose(c, [[0.0, 0.5], [0.5, 0.0]])
+
+
+def test_find_contours_closed_loop_duplicates_head():
+    """An interior pixel produces one closed contour whose head point is
+    repeated at the tail — the duplicate enters the reference's vstack and
+    its Hausdorff means (utils.py:166-198)."""
+    from tpureg.metrics.contours import extract_boundary_points, find_contours
+
+    m = np.zeros((6, 6))
+    m[2, 3] = 1
+    (c,) = find_contours(m, 0.5)
+    assert len(c) == 5 and np.array_equal(c[0], c[-1])
+    pts = extract_boundary_points(m)
+    assert pts.shape == (5, 2) and pts.dtype.kind == "i"
+
+
+def test_find_contours_crossing_multiset_random_masks():
+    """On random binary masks, the union of contour points equals the exact
+    set of 0.5-level pixel-edge crossings; each contour repeats only its
+    closure point; open contours end on the image border."""
+    from tpureg.metrics.contours import find_contours
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        m = (rng.random((13, 11)) > 0.6).astype(np.float64)
+        got = set()
+        for c in find_contours(m, 0.5):
+            pts = [tuple(p) for p in c]
+            if pts[0] == pts[-1]:
+                pts = pts[:-1]
+            else:  # open contour: both endpoints on the frame
+                h, w = m.shape
+                for p in (pts[0], pts[-1]):
+                    assert (p[0] in (0.0, h - 1.0)) or (p[1] in (0.0, w - 1.0))
+            assert len(set(pts)) == len(pts)
+            got |= set(pts)
+        want = {(r + 0.5, float(c_)) for r in range(m.shape[0] - 1)
+                for c_ in range(m.shape[1])
+                if (m[r, c_] > 0.5) != (m[r + 1, c_] > 0.5)}
+        want |= {(float(r), c_ + 0.5) for r in range(m.shape[0])
+                 for c_ in range(m.shape[1] - 1)
+                 if (m[r, c_] > 0.5) != (m[r, c_ + 1] > 0.5)}
+        assert got == want
+
+
+def test_find_contours_subpixel_interpolation():
+    """Non-binary values interpolate linearly along cell edges."""
+    from tpureg.metrics.contours import find_contours
+
+    a = np.zeros((3, 3))
+    a[0, 0] = 0.8  # crossing at (0.5-0.8)/(0-0.8) = 0.375 along each edge
+    (c,) = find_contours(a, 0.5)
+    np.testing.assert_allclose(c, [[0.0, 0.375], [0.375, 0.0]])
+
+
+def test_dist_hausdorff_uses_reference_extraction():
+    """dist_hausdorff routes through the marching-squares extraction."""
+    from tpureg.metrics.contours import extract_boundary_points
+    from tpureg.metrics.seg import dist_hausdorff, modified_hausdorff, seg_trans
+
+    rng = np.random.default_rng(3)
+    s1 = rng.integers(0, 4, (40, 40)).astype(np.float64)
+    s2 = rng.integers(0, 4, (40, 40)).astype(np.float64)
+    want = np.mean([
+        modified_hausdorff(extract_boundary_points(seg_trans(s1, i)),
+                           extract_boundary_points(seg_trans(s2, i)))
+        for i in (1, 2, 3)
+    ])
+    assert dist_hausdorff(s1, s2) == pytest.approx(float(want))
+
+
+# ---------------------------------------------------------------------------
+# legacy 4-neighbor extraction: delta vs the find_contours-int points
 
 def marching_squares_points_int(mask):
     """Reference-equivalent boundary points: the 0.5-level crossings of the

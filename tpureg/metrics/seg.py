@@ -9,9 +9,11 @@ Reference semantics (utils.py:72-91, 155-211):
 - modified Hausdorff (Dubuisson-Jain 1994): max of the two mean directed
   boundary-point distances (utils.py:187-198)
 - boundary points: the reference extracts skimage ``find_contours`` points
-  cast to int (utils.py:155-170); skimage is unavailable here, so boundary
-  pixels are taken as mask pixels with at least one 4-neighbor outside the
-  mask — the same boundary up to sub-pixel contour interpolation.
+  cast to int (utils.py:155-170); ``metrics/contours.py`` reimplements the
+  marching-squares algorithm (including the closed-contour duplicate
+  endpoint that enters the reference's means), so Hausdorff numbers are
+  reference-comparable. ``boundary_points`` (4-neighbor pixels) remains as
+  the cheaper geometric variant used by older callers/tests.
 """
 
 from __future__ import annotations
@@ -19,8 +21,11 @@ from __future__ import annotations
 import numpy as np
 from scipy.spatial.distance import cdist
 
+from .contours import extract_boundary_points, find_contours
+
 __all__ = ["dice_coefficient", "seg_trans", "dice_average", "dist_hausdorff",
-           "boundary_points", "modified_hausdorff"]
+           "boundary_points", "modified_hausdorff", "extract_boundary_points",
+           "find_contours"]
 
 
 def seg_trans(seg, target: int):
@@ -67,9 +72,11 @@ def modified_hausdorff(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def dist_hausdorff(seg1, seg2, labels=(1, 2, 3)) -> float:
+    """Mean per-label modified Hausdorff over marching-squares boundary
+    points cast to int — the reference's exact recipe (utils.py:199-211)."""
     dists = []
     for i in labels:
-        p1 = boundary_points(seg_trans(seg1, i))
-        p2 = boundary_points(seg_trans(seg2, i))
+        p1 = extract_boundary_points(seg_trans(seg1, i))
+        p2 = extract_boundary_points(seg_trans(seg2, i))
         dists.append(modified_hausdorff(p1, p2))
     return float(np.mean(dists))
