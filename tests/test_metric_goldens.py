@@ -198,26 +198,8 @@ def test_dist_hausdorff_uses_reference_extraction():
 
 
 # ---------------------------------------------------------------------------
-# legacy 4-neighbor extraction: delta vs the find_contours-int points
-
-def marching_squares_points_int(mask):
-    """Reference-equivalent boundary points: the 0.5-level crossings of the
-    binary mask (what skimage.find_contours returns for a 0/1 image, where
-    every sub-pixel point sits halfway between a 0-pixel and a 1-pixel),
-    cast to int like utils.py:166-169."""
-    m = np.asarray(mask, np.float64)
-    pts = set()
-    h, w = m.shape
-    for r in range(h - 1):
-        for c in range(w):
-            if (m[r, c] > 0.5) != (m[r + 1, c] > 0.5):
-                pts.add((int(r + 0.5), c))
-    for r in range(h):
-        for c in range(w - 1):
-            if (m[r, c] > 0.5) != (m[r, c + 1] > 0.5):
-                pts.add((r, int(c + 0.5)))
-    return np.asarray(sorted(pts), np.int64).reshape(-1, 2)
-
+# legacy 4-neighbor extraction: delta vs the reference-exact contour points
+# (metrics/contours.py is the single authoritative marching-squares impl)
 
 def _blob_mask(h=48, w=48, cx=22.0, cy=25.0, r=11.0):
     yy, xx = np.mgrid[0:h, 0:w]
@@ -229,12 +211,14 @@ def test_hausdorff_boundary_extraction_delta():
     realistic blob pair: the modified Hausdorff difference stays below one
     pixel (the sub-pixel contour is int-cast in the reference anyway).
     Measured value recorded in PARITY.md."""
+    from tpureg.metrics.contours import extract_boundary_points
+
     m1 = _blob_mask()
     m2 = _blob_mask(cx=25.0, cy=23.5, r=10.0)
 
     ours = modified_hausdorff(boundary_points(m1), boundary_points(m2))
     ref = modified_hausdorff(
-        marching_squares_points_int(m1), marching_squares_points_int(m2)
+        extract_boundary_points(m1), extract_boundary_points(m2)
     )
     assert np.isfinite(ours) and np.isfinite(ref)
     assert abs(ours - ref) < 1.0, (ours, ref)
@@ -244,9 +228,11 @@ def test_boundary_points_vs_marching_squares_geometry():
     """Every 4-neighbor boundary pixel lies within 1 px (Chebyshev) of a
     contour-crossing point and vice versa — the two extractions trace the
     same curve."""
+    from tpureg.metrics.contours import extract_boundary_points
+
     m = _blob_mask()
     a = boundary_points(m).astype(np.float64)
-    b = marching_squares_points_int(m).astype(np.float64)
+    b = np.unique(extract_boundary_points(m), axis=0).astype(np.float64)
     from scipy.spatial.distance import cdist
 
     d = cdist(a, b, metric="chebyshev")

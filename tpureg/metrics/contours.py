@@ -86,18 +86,27 @@ def _cell_segments(r0, c0, ul, ur, ll, lr, level):
 
 
 def _iter_segments(image: np.ndarray, level: float):
-    h, w = image.shape
-    for r0 in range(h - 1):
-        row0 = image[r0]
-        row1 = image[r0 + 1]
-        for c0 in range(w - 1):
-            ul = row0[c0]
-            ur = row0[c0 + 1]
-            ll = row1[c0]
-            lr = row1[c0 + 1]
-            if np.isnan(ul) or np.isnan(ur) or np.isnan(ll) or np.isnan(lr):
-                continue
-            yield from _cell_segments(r0, c0, ul, ur, ll, lr, level)
+    # Vectorized prepass: case codes for every (H-1)x(W-1) cell at once; the
+    # Python segment emission only visits crossing cells (case in 1..14 and
+    # NaN-free). np.argwhere scans row-major, so the emission order — and
+    # therefore the assembly semantics — match the original double loop.
+    ul = image[:-1, :-1]
+    ur = image[:-1, 1:]
+    ll = image[1:, :-1]
+    lr = image[1:, 1:]
+    case = (
+        (ul > level).astype(np.int8)
+        + 2 * (ur > level)
+        + 4 * (ll > level)
+        + 8 * (lr > level)
+    )
+    crossing = (case != 0) & (case != 15)
+    nan_free = ~(np.isnan(ul) | np.isnan(ur) | np.isnan(ll) | np.isnan(lr))
+    for r0, c0 in np.argwhere(crossing & nan_free):
+        yield from _cell_segments(
+            int(r0), int(c0),
+            ul[r0, c0], ur[r0, c0], ll[r0, c0], lr[r0, c0], level,
+        )
 
 
 def _assemble_contours(segments):
