@@ -478,3 +478,63 @@ def test_parity_pwcdcnet_old(ref_cascade, ref_pwc, train, monkeypatch):
     tm = ref_pwc.PWCDCNet_old(md=4)
     fm = PWCDCNetOld(md=4)
     _run_parity(tm, fm, in_ch=6, train=train)
+
+
+@pytest.fixture(scope="module")
+def ref_pinard_c():
+    """Reference FlowNetS/FlowNetC.py loaded with a pure-torch stand-in for
+    spatial_correlation_sample (FlowNetS/util.py:58-72): kernel=1, patch=21,
+    dilation_patch=2 → displacement taps at multiples of 2 in [-20, 20],
+    output [b, ph, pw, h, w], zero contribution out of bounds. Written to
+    the published op contract, independent of tpureg."""
+
+    def _scs(input1, input2, kernel_size=1, patch_size=1, stride=1,
+             padding=0, dilation_patch=1):
+        assert kernel_size == 1 and stride == 1 and padding == 0
+        b, c, h, w = input1.shape
+        md = (patch_size // 2) * dilation_patch
+        f2p = _F.pad(input2, (md,) * 4)
+        rows = []
+        for pi in range(patch_size):
+            cols = []
+            for pj in range(patch_size):
+                sh = f2p[:, :, pi * dilation_patch:pi * dilation_patch + h,
+                         pj * dilation_patch:pj * dilation_patch + w]
+                cols.append((input1 * sh).sum(1))
+            rows.append(torch.stack(cols, 1))
+        return torch.stack(rows, 1)
+
+    name = "spatial_correlation_sampler"
+    saved = sys.modules.get(name)
+    mod = types.ModuleType(name)
+    mod.spatial_correlation_sample = _scs
+    sys.modules[name] = mod
+    try:
+        def load():
+            import FlowNetS.FlowNetC as pinard_c
+            import FlowNetS.util as pinard_util
+
+            # util.py binds the symbol at import inside a try/except; if the
+            # module was already imported without the sampler (by ref_nets),
+            # patch the name in so `correlate` resolves it.
+            pinard_util.spatial_correlation_sample = _scs
+            return pinard_c
+
+        yield _with_ref_path(load)
+    finally:
+        if saved is None:
+            sys.modules.pop(name, None)
+        else:
+            sys.modules[name] = saved
+
+
+@pytest.mark.parametrize("train", [True, False], ids=["train", "eval"])
+def test_parity_flownetc_pinard(ref_pinard_c, train):
+    """Pinard FlowNetC (FlowNetS/FlowNetC.py:9-107): RGB siamese stems,
+    441-ch dilated correlation via `correlate` (util.py:58-72), unbiased
+    decoder heads, kaiming(a=0.1) init."""
+    from tpureg.models import FlowNetCPinard
+
+    tm = ref_pinard_c.FlowNetC(batchNorm=True)
+    fm = FlowNetCPinard(use_bn=True)
+    _run_parity(tm, fm, in_ch=6, train=train)

@@ -18,7 +18,7 @@ from .flownet2 import (
     FlowNet2S,
     FlowNet2SD,
 )
-from .flownet_c import FlowNetC
+from .flownet_c import FlowNetC, FlowNetCPinard
 from .flownet_fusion import FlowNetFusion
 from .flownet_s import FlowNetS, FlowNetSFull
 from .flownet_sd import FlowNetSD
@@ -36,6 +36,7 @@ __all__ = [
     "FlowNet2S",
     "FlowNet2SD",
     "FlowNetC",
+    "FlowNetCPinard",
     "FlowNetFusion",
     "FlowNetS",
     "FlowNetSFull",
@@ -54,6 +55,9 @@ _EXPLICIT = {
     "flownet2-cs": lambda bn: FlowNet2CS(use_bn=bn),
     "flownet2-css": lambda bn: FlowNet2CSS(use_bn=bn),
     "flownetc": lambda bn: FlowNetC(use_bn=bn),
+    # pinard-lineage FlowNetC (reference FlowNetS/FlowNetC.py:9-107, unused
+    # by the drivers; RGB-pair 6-ch input contract)
+    "flownetc-pinard": lambda bn: FlowNetCPinard(use_bn=bn),
     "flownetsd": lambda bn: FlowNetSD(use_bn=bn),
     "flownets-full": lambda bn: FlowNetSFull(use_bn=bn),
     # legacy RGB PWC-DC variant (reference PWCNet.py:282-496, dead code
