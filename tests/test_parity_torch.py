@@ -538,3 +538,65 @@ def test_parity_flownetc_pinard(ref_pinard_c, train):
     tm = ref_pinard_c.FlowNetC(batchNorm=True)
     fm = FlowNetCPinard(use_bn=True)
     _run_parity(tm, fm, in_ch=6, train=train)
+
+
+# ---------------------------------------------------------------------------
+# torch EXPORT round-trip: a TPU-trained (here: freshly-initialized) tpureg
+# net written back into the reference's torch net via
+# compat/torch_export.py, loaded strict=True, forwards compared. Proves the
+# reference's own drivers (inference.py:61-63) could consume a tpureg-trained
+# model — the strongest parity statement the compat layer can make.
+
+@pytest.mark.parametrize("name", ["sd", "nvidia", "pinard_pkg"])
+def test_torch_export_roundtrip(ref_nets, name):
+    from tpureg.compat import export_torch_state_dict, import_torch_state_dict
+    from tpureg.models import FlowNetS, FlowNetSD
+
+    if name == "sd":
+        tm, fm, in_ch = ref_nets["sd"].FlowNetSD(None), FlowNetSD(), 2
+    elif name == "nvidia":
+        tm = ref_nets["nvidia"].FlowNetS(None)
+        fm, in_ch = FlowNetS(input_channels=6, style="nvidia", use_bn=True), 6
+    else:
+        tm = ref_nets["pinard"].FlowNetS(batchNorm=True)
+        fm, in_ch = FlowNetS(style="pinard", use_bn=True), 2
+
+    x = np.random.default_rng(3).standard_normal(
+        (2, in_ch, 64, 64)).astype(np.float32) * 0.5
+    x_nhwc = np.transpose(x, (0, 2, 3, 1))
+
+    # fresh tpureg init stands in for "TPU-trained weights"
+    variables = fm.init(KEY, x_nhwc, train=True)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    sd, report = export_torch_state_dict(
+        params, tm.state_dict().keys(), batch_stats=stats)
+    assert not report["missing"], report["missing"][:8]
+
+    missing, unexpected = tm.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+        strict=True)
+    assert not missing and not unexpected
+
+    tm = tm.eval()
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(x))
+    f_out = _flax_forward(fm, variables, x_nhwc, train=False)
+    if name == "pinard_pkg":
+        # flow0 hard-codes F.interpolate(..., size=(256,256)) in the
+        # reference (FlowNetS.py:82) — excluded as in the import parity test
+        t_out, f_out = t_out[1:], f_out[1:]
+    _assert_flows_match(t_out, f_out, what=f"export:{name}")
+
+    # import(export(params)) is the identity, bit-for-bit
+    p2, s2, rep2 = import_torch_state_dict(sd, params, stats)
+    assert not rep2["missing"] and not rep2["shape_mismatch"]
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(params),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(p2),
+                   key=lambda kv: str(kv[0]))):
+        assert str(ka) == str(kb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(ka))

@@ -5,6 +5,7 @@ from .caffe_reader import (
     caffe_weights_biases,
     read_caffemodel,
 )
+from .torch_export import export_to_torch_checkpoint, export_torch_state_dict
 from .torch_import import (
     collapse_rgb_input,
     collapse_rgb_pair_input,
@@ -21,6 +22,8 @@ __all__ = [
     "read_caffemodel",
     "collapse_rgb_input",
     "collapse_rgb_pair_input",
+    "export_to_torch_checkpoint",
+    "export_torch_state_dict",
     "import_torch_state_dict",
     "load_torch_checkpoint",
 ]
