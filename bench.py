@@ -1,146 +1,222 @@
-"""Benchmark: FlowNet2 registration training throughput on one TPU chip.
+"""Benchmark: MRI-pair registration throughput on one TPU chip.
 
-Measures MRI pairs/sec/chip for the flagship config — FlowNet2 cascade in the
-registration head, OFE loss, Adam, batch 24, 256² slice pairs — matching the
-reference's training configuration (train.py:114-117: batch 24, lr 1e-4;
-README.md:25-26).
+Headline: FlowNet2 cascade in the registration head, OFE loss, Adam,
+batch 24, 256² slice pairs — the reference's training configuration
+(train.py:114-117: batch 24, lr 1e-4; README.md:25-26) — in the TPU-native
+training configuration: bf16 mixed precision (fp32 master params / Adam
+state / BN running stats; learning quality validated by
+tools/train_phantom_check.py --bf16), Pallas correlation + warp kernels,
+packed/plane layouts.
 
-The measured step is the TPU-native training configuration: bf16 mixed
-precision (fp32 master params / Adam state / BN running stats — learning
-quality validated by tools/train_phantom_check.py --bf16: 96.8% of elastic
-misalignment removed, matching fp32) with the Pallas correlation and warp
-kernels.
+``vs_baseline`` is the speedup over an HONESTLY-naive JAX port of the same
+model on the same chip: fp32 end-to-end, pure-XLA correlation + gather warp
+lowerings, plain-NHWC cascade (``packed=False`` — no space-to-depth/plane
+layout work). The naive variant's correlation backward OOMs 16 GB HBM at
+batch 24, so the ratio is measured at batch 8 (both variants at batch 8,
+same graph scale) and the constraint is recorded in the JSON
+(``baseline_batch``). The reference publishes no numbers of its own
+(BASELINE.md), so the measured naive-port throughput stands in as the
+baseline until a PyTorch-GPU measurement exists.
 
-``vs_baseline`` is the speedup over a straightforward (non-TPU-native) JAX
-port of the same model on the same chip: fp32 end-to-end with the pure-XLA
-correlation lowering instead of the fused Pallas kernel. The reference
-publishes no numbers of its own (BASELINE.md), so the measured naive-port
-throughput stands in as the baseline until a PyTorch-GPU measurement exists.
+The BASELINE.json north star counts train AND inference pairs/s/chip for
+the model families, so ``extra`` carries train + inference (fwd+loss, no
+grad/opt) throughput for flownet2 / pwc / raft / flownets, plus both MFU
+readings:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- ``mfu_raw``: XLA-cost-model FLOPs of the exact compiled program / time /
+  v5e bf16 peak. Includes the one-hot warp matmuls' stand-in FLOPs (~100×
+  a gather warp's algorithmic cost — the price of gather-free warping).
+- ``mfu_algorithmic``: the naive-port program's FLOP count (gather warp,
+  reference correlation — the algorithmic work) over the OPTIMIZED step
+  time. The honest arithmetic-efficiency number (VERDICT r2 weak item 3).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 
+V5E_BF16_PEAK = 197e12  # FLOP/s per chip
 
-def _measure(train_step, state, batches, iters: int = 30, warmup: int = 5):
-    """ms/step over ``iters`` steps with distinct inputs.
 
-    Sync note: through the axon device tunnel, ``jax.block_until_ready``
-    returns before queued executions actually finish (measured 100× skew);
-    a host transfer of the final metrics — which depend on the whole state
-    chain — is the only honest fence.
-    """
-    for _ in range(warmup):
-        state, metrics = train_step(state, batches[0])
-    float(metrics["loss"])  # real device fence
+def _fence(metrics):
+    """Host transfer of a value depending on the whole chain — the only
+    honest fence through the axon tunnel (block_until_ready returns before
+    queued executions finish; measured 100× skew, BASELINE.md)."""
+    float(jax.tree.leaves(metrics)[-1])
+
+
+def _measure(step_fn, state, batches, iters=30, warmup=5, stateless=False):
+    """ms/step over ``iters`` steps with distinct inputs."""
+    out = None
+    for i in range(warmup):
+        if stateless:
+            out = step_fn(state, batches[i % len(batches)])
+        else:
+            state, out = step_fn(state, batches[i % len(batches)])
+    _fence(out)
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = train_step(state, batches[i % len(batches)])
-    float(metrics["loss"])
+        if stateless:
+            out = step_fn(state, batches[i % len(batches)])
+        else:
+            state, out = step_fn(state, batches[i % len(batches)])
+    _fence(out)
     dt = (time.perf_counter() - t0) / iters
     return dt, state
 
 
-def main():
+def _flops_of(compiled_or_jitted, *args):
+    try:
+        cost = compiled_or_jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def _naive_port(enabled: bool):
+    """Context manager: force the pure-XLA correlation + gather warp."""
+    import contextlib
     import importlib
 
+    corr_mod = importlib.import_module("tpureg.ops.correlation")
+    import tpureg.models.flownet_c as fc
+    import tpureg.models.pwcnet as pw
+
+    @contextlib.contextmanager
+    def ctx():
+        if not enabled:
+            yield
+            return
+        orig = corr_mod.correlation
+
+        def xla_only(f1, f2, md, s2=1):
+            return corr_mod.correlation_reference(f1, f2, md, s2)
+
+        corr_mod.correlation = xla_only
+        fc.correlation = xla_only
+        pw.correlation = xla_only
+        os.environ["TPUREG_NO_PALLAS_WARP"] = "1"
+        try:
+            yield
+        finally:
+            corr_mod.correlation = orig
+            fc.correlation = orig
+            pw.correlation = orig
+            os.environ.pop("TPUREG_NO_PALLAS_WARP", None)
+
+    return ctx()
+
+
+def _train_run(predictor, batches, key, bf16=True, naive=False, iters=30,
+               want_flops=False):
     import jax.numpy as jnp
 
+    from tpureg.reg import OpticalFlowReg
+    from tpureg.train import create_train_state, make_train_step
+
+    with _naive_port(naive):
+        model = OpticalFlowReg(conv_predictor=predictor)
+        state = create_train_state(model, key, batches[0])
+        step = make_train_step(
+            donate=False,
+            compute_dtype=jnp.bfloat16 if bf16 else None,
+        )
+        flops = _flops_of(step, state, batches[0]) if want_flops else None
+        dt, state = _measure(step, state, batches, iters=iters)
+    del state
+    return dt, flops
+
+
+def _infer_run(predictor, batches, key, bf16=True, iters=30):
+    import jax.numpy as jnp
+
+    from tpureg.reg import OpticalFlowReg
+    from tpureg.train import create_train_state, make_eval_step
+
+    model = OpticalFlowReg(conv_predictor=predictor)
+    state = create_train_state(model, key, batches[0])
+    step = make_eval_step(compute_dtype=jnp.bfloat16 if bf16 else None)
+    dt, _ = _measure(step, state, batches, iters=iters, stateless=True)
+    del state
+    return dt
+
+
+def main():
+    from tpureg.data import random_pair_batch
     from tpureg.utils import enable_compilation_cache
 
     enable_compilation_cache()  # repeated runs skip the multi-minute compiles
-    corr_mod = importlib.import_module("tpureg.ops.correlation")
-    from tpureg.data import random_pair_batch
-    from tpureg.reg import OpticalFlowReg
-    from tpureg.train import create_train_state, make_train_step
 
     batch, size = 24, 256
     key = jax.random.key(0)
     batches = [
         random_pair_batch(jax.random.key(i), batch, size) for i in range(8)
     ]
-    imgs = batches[0]
-    model = OpticalFlowReg(conv_predictor="flownet2")
-    state = create_train_state(model, key, imgs)
 
-    train_step = make_train_step(donate=False, compute_dtype=jnp.bfloat16)
-
-    # Per-step FLOPs from XLA's cost model on the exact compiled program →
-    # MFU against the v5e bf16 peak (VERDICT r1 item 1: roofline, not vibes).
-    flops_per_step = None
-    try:
-        cost = train_step.lower(state, imgs).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_per_step = float(cost.get("flops", 0.0)) or None
-    except Exception:
-        pass
-
-    dt, state = _measure(train_step, state, batches)
+    # --- headline: flagship bf16 train throughput + raw-FLOP MFU
+    dt, flops_raw = _train_run("flownet2", batches, key, bf16=True,
+                               want_flops=True)
     pairs_per_sec = batch / dt
-    V5E_BF16_PEAK = 197e12  # FLOP/s per chip
-    mfu = (flops_per_step / dt / V5E_BF16_PEAK) if flops_per_step else None
-    del state  # free HBM before building the comparison variants
 
-    # vs_baseline ratio measured at batch 8: the naive-port variant's
-    # correlation backward OOMs HBM at the full batch 24
+    # --- vs_baseline: honestly-naive port (fp32, XLA correlation, gather
+    # warp, packed=False plain NHWC). Its correlation backward OOMs at b24,
+    # so both sides of the ratio run at batch 8.
     rbatch = 8
     rbatches = [b_[:rbatch] for b_ in batches]
-    model_r = OpticalFlowReg(conv_predictor="flownet2")
-    state_r = create_train_state(model_r, key, rbatches[0])
-    dt_r, _ = _measure(
-        make_train_step(donate=False, compute_dtype=jnp.bfloat16),
-        state_r, rbatches, iters=20,
+    dt_main_b8, _ = _train_run("flownet2", rbatches, key, bf16=True, iters=20)
+    dt_naive_b8, flops_algo = _train_run(
+        "flownet2-nhwc", rbatches, key, bf16=False, naive=True, iters=20,
+        want_flops=True,
     )
-    del state_r
-    main_pairs_b8 = rbatch / dt_r
+    vs_baseline = (rbatch / dt_main_b8) / (rbatch / dt_naive_b8)
 
-    # naive-port baseline: same graph, pure-XLA correlation lowering
-    orig_backend_check = corr_mod.correlation
+    # Algorithmic FLOPs: the naive program computes the same registration
+    # step without stand-in arithmetic (gather warp ≈ algorithmic taps;
+    # reference correlation). Scale its b8 FLOP count to b24.
+    mfu_raw = (flops_raw / dt / V5E_BF16_PEAK) if flops_raw else None
+    mfu_algo = (
+        (flops_algo * batch / rbatch) / dt / V5E_BF16_PEAK
+        if flops_algo else None
+    )
 
-    def xla_only_correlation(f1, f2, md, s2=1):
-        return corr_mod.correlation_reference(f1, f2, md, s2)
-
-    corr_mod.correlation = xla_only_correlation
-    # also patch the symbol captured by model modules, and disable the
-    # Pallas warp so the baseline is the full naive (pure-XLA) port
-    import os
-
-    import tpureg.models.flownet_c as fc
-    import tpureg.models.pwcnet as pw
-
-    fc.correlation = xla_only_correlation
-    pw.correlation = xla_only_correlation
-    os.environ["TPUREG_NO_PALLAS_WARP"] = "1"
-    try:
-        model_b = OpticalFlowReg(conv_predictor="flownet2")
-        state_b = create_train_state(model_b, key, rbatches[0])
-        step_b = make_train_step(donate=False)
-        dt_b, _ = _measure(step_b, state_b, rbatches, iters=20)
-        baseline_pairs_per_sec = rbatch / dt_b
-    finally:
-        corr_mod.correlation = orig_backend_check
-        fc.correlation = orig_backend_check
-        pw.correlation = orig_backend_check
-        os.environ.pop("TPUREG_NO_PALLAS_WARP", None)
+    # --- per-family train + inference throughput (north-star metric set)
+    extra = {}
+    for name in ("pwc", "raft", "flownets"):
+        t_dt, _ = _train_run(name, batches, key, bf16=True, iters=20)
+        extra[f"{name}_train_pairs_per_sec"] = round(batch / t_dt, 1)
+    for name in ("flownet2", "pwc", "raft", "flownets"):
+        i_dt = _infer_run(name, batches, key, bf16=True, iters=20)
+        extra[f"{name}_infer_pairs_per_sec"] = round(batch / i_dt, 1)
 
     out = {
         "metric": "flownet2_train_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
-        "vs_baseline": round(main_pairs_b8 / baseline_pairs_per_sec, 3),
+        "vs_baseline": round(vs_baseline, 3),
+        "step_ms": round(1e3 * dt, 2),
+        "baseline_batch": rbatch,
+        "baseline_note": (
+            "naive = fp32 plain-NHWC (packed=False) + pure-XLA correlation "
+            "and gather warp; its corr backward OOMs 16GB HBM at b24, so "
+            "the ratio compares both variants at b8"
+        ),
     }
-    if flops_per_step:
-        out["flops_per_step"] = round(flops_per_step)
-        out["step_ms"] = round(1e3 * (batch / pairs_per_sec), 2)
-        out["mfu_vs_v5e_bf16_peak"] = round(mfu, 4)
+    if flops_raw:
+        out["flops_per_step_raw"] = round(flops_raw)
+        out["mfu_raw_vs_v5e_bf16_peak"] = round(mfu_raw, 4)
+    if flops_algo:
+        out["flops_per_step_algorithmic"] = round(flops_algo * batch / rbatch)
+        out["mfu_algorithmic"] = round(mfu_algo, 4)
+    out.update(extra)
     print(json.dumps(out))
 
 

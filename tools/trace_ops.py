@@ -82,7 +82,7 @@ def device_op_times(trace_path):
 
 def classify(opcode, op_name):
     sub = "head/loss/misc"
-    sm = re.search(r"predictor/(flownet[a-z_0-9]*)", op_name)
+    sm = re.search(r"/(flownet[a-z_0-9]*)/", op_name)
     if sm:
         sub = sm.group(1)
     elif "pallas" in op_name or opcode == "custom-call":

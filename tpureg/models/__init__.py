@@ -55,6 +55,9 @@ _EXPLICIT = {
     "flownet2-cs": lambda bn: FlowNet2CS(use_bn=bn),
     "flownet2-css": lambda bn: FlowNet2CSS(use_bn=bn),
     "flownetc": lambda bn: FlowNetC(use_bn=bn),
+    # the cascade pinned to the plain NHWC path (no packed/plane layouts) —
+    # the honestly-naive bench baseline variant; same parameter tree
+    "flownet2-nhwc": lambda bn: FlowNet2(use_bn=bn, packed=False),
     # pinard-lineage FlowNetC (reference FlowNetS/FlowNetC.py:9-107, unused
     # by the drivers; RGB-pair 6-ch input contract)
     "flownetc-pinard": lambda bn: FlowNetCPinard(use_bn=bn),
