@@ -226,3 +226,72 @@ def test_corr_backward_banded_interpret():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(df2), np.asarray(rdf2),
                                atol=1e-5, rtol=1e-5)
+
+
+def _raster_positions(h_img, w, flow_scale, key=31, b=1, n_rows=None):
+    """Raster-grid positions + bounded random flow — the warp wrapper's
+    layout, where each PBLK position block covers contiguous output rows
+    (the precondition for the banded row window). ``n_rows=h_img`` sweeps
+    every window start: clamped-at-0, mid-image, clamped-at-(H-BAND)."""
+    if n_rows is None:
+        n_rows = 2 * wp.PBLK // w  # two position blocks
+    yy, xx = jnp.meshgrid(jnp.arange(n_rows, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    k1, k2 = jax.random.split(jax.random.key(key))
+    p = n_rows * w
+    fx = jax.random.uniform(k1, (b, p), minval=-flow_scale, maxval=flow_scale)
+    fy = jax.random.uniform(k2, (b, p), minval=-flow_scale, maxval=flow_scale)
+    return xx.reshape(1, p) + fx, yy.reshape(1, p) + fy
+
+
+def test_warp_banded_branch_interpret():
+    """h > BAND with registration-scale flows: the banded window kernel is
+    the taken cond branch (guard asserted) and matches the gather oracle,
+    including zero-weight out-of-bounds taps at the top edge."""
+    h_img = wp.BAND + 16
+    img = jax.random.normal(jax.random.key(29), (1, h_img, W), jnp.float32)
+    px, py = _raster_positions(h_img, W, flow_scale=5.0, n_rows=h_img)
+    assert wp._band_ok(h_img, W, px.shape[1])
+    assert bool(wp._band_guard(py, h_img, W))  # banded branch taken
+    got = wp._fwd(img, px, py)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(_gather_oracle(img, px, py)),
+                               atol=2e-5, rtol=1e-5)
+
+    out, dpx_base, dpy_base = wp._fwd_with_taps(img, px, py)
+    want, vjp = jax.vjp(lambda a, b: _gather_oracle(img, a, b), px, py)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+    g = jax.random.normal(jax.random.key(30), out.shape, jnp.float32)
+    rdpx, rdpy = vjp(g)
+    np.testing.assert_allclose(np.asarray(g * dpx_base), np.asarray(rdpx),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g * dpy_base), np.asarray(rdpy),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_warp_banded_bf16_branch_interpret():
+    """bf16 image through the banded window (lo-residual statically
+    dropped) stays exact vs the fp32 gather oracle."""
+    h_img = wp.BAND + 16
+    img = jax.random.normal(
+        jax.random.key(33), (1, h_img, W)).astype(jnp.bfloat16)
+    px, py = _raster_positions(h_img, W, flow_scale=3.0, key=35)
+    assert bool(wp._band_guard(py, h_img, W))
+    got = wp._fwd(img, px, py)
+    want = _gather_oracle(img.astype(jnp.float32), px, py)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_warp_banded_guard_rejects_big_flow():
+    """Flows larger than the window margin flip the guard off and the
+    full-H fallback still produces oracle-exact output."""
+    h_img = wp.BAND + 16
+    img = jax.random.normal(jax.random.key(37), (1, h_img, W), jnp.float32)
+    px, py = _raster_positions(h_img, W, flow_scale=float(h_img), key=39)
+    assert not bool(wp._band_guard(py, h_img, W))
+    got = wp._fwd(img, px, py)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(_gather_oracle(img, px, py)),
+                               atol=2e-5, rtol=1e-5)

@@ -11,6 +11,8 @@ warped moving seg vs fixed seg, plus diffeomorphism regularity
 (negative-Jacobian fraction) for the learned flow.
 
 Run on the TPU:  timeout 1200 python tools/quality_check3d.py [train_steps]
+                 [DxHxW]   (default 32x64x64; e.g. 64x128x128 for the
+                            scaled gate — dims divisible by 16)
 """
 
 import os
@@ -38,7 +40,7 @@ from tpureg.ops.resize import resize_nd
 from tpureg.ops.warp import warp3d
 from tpureg.train.steps import make_deform3d_train_step
 
-SHAPE = (32, 64, 64)  # divisible by 2^4 (UNet depth)
+SHAPE = (32, 64, 64)  # divisible by 2^4 (UNet depth); override via argv
 TRAIN_B = 4
 EVAL_B = 4
 
@@ -82,10 +84,14 @@ def dice_batch(warped_seg, fixed_seg):
     ]))
 
 
-def main(train_steps: int = 300):
+def main(train_steps: int = 300, shape=SHAPE):
+    # larger volumes: keep total voxels/batch roughly constant so train
+    # wall-time scales with voxels, not voxels*batch
+    train_b = max(1, TRAIN_B * (32 * 64 * 64) // int(np.prod(shape)))
+    eval_b = max(1, EVAL_B * (32 * 64 * 64) // int(np.prod(shape)))
     key = jax.random.key(0)
     model = VoxelMorph3D()
-    vols, _ = make_pairs(key, TRAIN_B, SHAPE, 2.0)
+    vols, _ = make_pairs(key, train_b, shape, 2.0)
     params = model.init(jax.random.key(1), vols)["params"]
     state = flax_train_state.TrainState.create(
         apply_fn=lambda v, x: model.apply(v, x),
@@ -94,17 +100,17 @@ def main(train_steps: int = 300):
     )
     step = make_deform3d_train_step(donate=False)
 
-    print(f"training VoxelMorph3D: {train_steps} steps (b{TRAIN_B} "
-          f"{SHAPE})", flush=True)
+    print(f"training VoxelMorph3D: {train_steps} steps (b{train_b} "
+          f"{shape})", flush=True)
     t0 = time.time()
     for i in range(train_steps):
         key, k = jax.random.split(key)
-        v, _ = make_pairs(k, TRAIN_B, SHAPE, 2.0)
+        v, _ = make_pairs(k, train_b, shape, 2.0)
         state, m = step(state, v)
     print(f"trained in {time.time()-t0:.0f}s (final loss "
           f"{float(m['loss']):.2f})", flush=True)
 
-    vols, segs = make_pairs(jax.random.key(777), EVAL_B, SHAPE, 2.0)
+    vols, segs = make_pairs(jax.random.key(777), eval_b, shape, 2.0)
     fixed, moving = vols[..., 0:1], vols[..., 1:2]
     fixed_seg, moving_seg = segs[..., 0:1], segs[..., 1:2]
 
@@ -141,4 +147,7 @@ def main(train_steps: int = 300):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 300)
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    shape = (tuple(int(v) for v in sys.argv[2].split("x"))
+             if len(sys.argv) > 2 else SHAPE)
+    main(steps, shape)

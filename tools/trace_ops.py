@@ -56,8 +56,12 @@ def capture(batch, size, steps, logdir):
 def parse_meta(hlo_text):
     meta = {}
     for line in hlo_text.splitlines():
-        m = re.match(r"\s*(?:ROOT )?%?([\w.\-]+) = (?:\([^)]*\)|\S+) ([\w\-]+)",
-                     line)
+        # type is a scalar shape or a (possibly nested) tuple — allow two
+        # levels of parens inside the tuple (inner tuples + T(8,128) layouts)
+        m = re.match(
+            r"\s*(?:ROOT )?%?([\w.\-]+) = "
+            r"(?:\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)|\S+) ([\w\-]+)",
+            line)
         if not m:
             continue
         mm = re.search(r'op_name="([^"]*)"', line)
@@ -76,7 +80,10 @@ def device_op_times(trace_path):
         if (e.get("ph") != "X"
                 or tids.get((e.get("pid"), e.get("tid"))) != "XLA Ops"):
             continue
-        agg[e.get("name", "").lstrip("%")] += e.get("dur", 0)
+        name = e.get("name", "").lstrip("%")
+        if name.startswith("branch_"):
+            continue  # nested inside its cond event — counting both doubles
+        agg[name] += e.get("dur", 0)
     return agg
 
 
@@ -90,7 +97,9 @@ def classify(opcode, op_name):
     elif op_name == "":
         sub = "(no-meta)"
     fam = "other:" + opcode
-    if "conv_general_dilated" in op_name:
+    if "pallas_call" in op_name or opcode in ("custom-call", "conditional"):
+        fam = "pallas"
+    elif "conv_general_dilated" in op_name:
         fam = "conv"
     elif "bn/" in op_name:
         fam = "bn"

@@ -109,6 +109,8 @@ def _split(img, with_lo: bool = True):
 
 
 _DN = (((1,), (0,)), ((), ()))
+# contract axis 0 of both operands: (S, W)ᵀ @ (S, P) → (W, P)
+_DN_T = (((0,), (0,)), ((), ()))
 
 
 def _rowsel_t(imgt_hi, imgt_lo, r):
@@ -118,6 +120,17 @@ def _rowsel_t(imgt_hi, imgt_lo, r):
     if imgt_lo is None:
         return a
     b = jax.lax.dot_general(imgt_lo, r, _DN,
+                            preferred_element_type=jnp.float32)
+    return a + b
+
+
+def _rowsel_win(win_hi, win_lo, r):
+    """(S, W) split image window ᵀ@ (S, P) bf16 one-hot → (W, P)."""
+    a = jax.lax.dot_general(win_hi, r, _DN_T,
+                            preferred_element_type=jnp.float32)
+    if win_lo is None:
+        return a
+    b = jax.lax.dot_general(win_lo, r, _DN_T,
                             preferred_element_type=jnp.float32)
     return a + b
 
@@ -135,11 +148,54 @@ def _sel_pair_t(imgt_ref, y0i, h, lo):
     return a0, a1
 
 
-def _fwd_kernel(imgt_ref, px_ref, py_ref, out_ref, *, h, w, pblk, lo=True):
+def _y0_eff(y0i, h, w):
+    """Row taps with the weight-zero (out-of-bounds) ones replaced by the
+    block's raster base row, so fully-OOB positions never widen the window.
+    Identical masking on the kernel and guard sides."""
+    neutral = pl.program_id(1) * (PBLK // w)
+    zero_w = (y0i < -1) | (y0i > h - 1)  # both taps y0, y0+1 out of bounds
+    return jnp.where(zero_w, neutral, y0i)
+
+
+def _band_start(y0i, h, w):
+    """Data-adaptive window start: the block's own min row tap (clamped,
+    8-aligned down). Exact whenever the block's row-tap SPREAD fits the
+    window — the guard condition — regardless of absolute displacement."""
+    lo = jnp.min(_y0_eff(y0i, h, w))
+    s = jnp.clip(lo, 0, h - BAND)
+    return (s // 8) * 8  # sublane-aligned dynamic slice
+
+
+def _sel_pair_win(img_ref, y0i, s, h, w, lo):
+    """Banded row selections: contract over a BAND-row window, not all H.
+
+    The image block is in natural (H, W) orientation; the window slice runs
+    along sublanes (8-aligned start). The one-hot matmul contracts axis 0 of
+    both operands ((BAND, W)ᵀ @ (BAND, P) → (W, P)) so the MXU K dim is the
+    window, giving the same (W, P) layout as the full-H kernel with H/BAND×
+    fewer MACs. Exactness: rows outside the window are only ever addressed
+    by taps whose bilinear weight is zero (the wrapper's guard dispatched
+    here), and the clipped one-hot index then selects an arbitrary in-window
+    row that the zero weight cancels.
+    """
+    win = img_ref[0, pl.ds(s, BAND), :].astype(jnp.float32)
+    win_hi, win_lo = _split(win, lo)
+    a0 = _rowsel_win(win_hi, win_lo, _onehot_t(y0i - s, BAND, jnp.bfloat16))
+    a1 = _rowsel_win(win_hi, win_lo,
+                     _onehot_t(y0i + 1 - s, BAND, jnp.bfloat16))
+    return a0, a1
+
+
+def _fwd_kernel(imgt_ref, px_ref, py_ref, out_ref, *, h, w, pblk, lo=True,
+                band=False):
     px = px_ref[0].reshape(pblk)
     py = py_ref[0].reshape(pblk)
     x0i, y0i, wx0, wx1, wy0, wy1 = _tap_weights(px, py, h, w)
-    a0, a1 = _sel_pair_t(imgt_ref, y0i, h, lo)
+    if band:
+        s = _band_start(y0i, h, w)
+        a0, a1 = _sel_pair_win(imgt_ref, y0i, s, h, w, lo)
+    else:
+        a0, a1 = _sel_pair_t(imgt_ref, y0i, h, lo)
     arow = a0 * wy0[None, :] + a1 * wy1[None, :]            # (W, P)
     c0 = _onehot_t(x0i, w, jnp.float32)
     c1 = _onehot_t(x0i + 1, w, jnp.float32)
@@ -148,7 +204,7 @@ def _fwd_kernel(imgt_ref, px_ref, py_ref, out_ref, *, h, w, pblk, lo=True):
 
 
 def _fwd_taps_kernel(imgt_ref, px_ref, py_ref, out_ref, dpx_ref, dpy_ref,
-                     *, h, w, pblk, lo=True):
+                     *, h, w, pblk, lo=True, band=False):
     """Forward + the two analytic position-derivative bases.
 
     The bilinear derivative collapses onto the tensors the forward already
@@ -165,7 +221,11 @@ def _fwd_taps_kernel(imgt_ref, px_ref, py_ref, out_ref, dpx_ref, dpy_ref,
     mx0 = _bounds(x0i, 0, w - 1).astype(jnp.float32)
     mx1 = _bounds(x0i + 1, 0, w - 1).astype(jnp.float32)
 
-    a0, a1 = _sel_pair_t(imgt_ref, y0i, h, lo)
+    if band:
+        s = _band_start(y0i, h, w)
+        a0, a1 = _sel_pair_win(imgt_ref, y0i, s, h, w, lo)
+    else:
+        a0, a1 = _sel_pair_t(imgt_ref, y0i, h, lo)
     arow = a0 * wy0[None, :] + a1 * wy1[None, :]            # (W, P)
     c0 = _onehot_t(x0i, w, jnp.float32)
     c1 = _onehot_t(x0i + 1, w, jnp.float32)
@@ -209,6 +269,7 @@ def _dimg_kernel(px_ref, py_ref, g_ref, dimg_ref, *, h, w, pblk):
 
 
 PBLK = 1024  # 8 lane tiles of positions per block
+BAND = 128   # banded row window: one MXU K pass instead of H/128
 
 # Interpret-mode switch (tests monkeypatch this True): runs every pallas_call
 # in this module under the pure-JAX emulator so the kernels' numerics are
@@ -247,37 +308,99 @@ def _needs_lo(img2d) -> bool:
     return img2d.dtype != jnp.bfloat16
 
 
-def _grid_call(kernel, img2d, px, py, n_out):
+def _grid_call(kernel, img2d, px, py, n_out, band=False):
     b, h, w = img2d.shape
     p_total = px.shape[1]
     nblk = p_total // PBLK
     imgt_spec, vec_spec = _specs(h, w)
     shp = jax.ShapeDtypeStruct((b, p_total // 128, 128), jnp.float32)
-    imgt = jnp.swapaxes(img2d, 1, 2)  # (B, W, H) for the transposed selects
+    if band:
+        # natural (B, H, W): the kernel row-window slices sublanes directly,
+        # and the (B, W, H) pre-transpose relayout disappears
+        img, img_spec = img2d, pl.BlockSpec(
+            (1, h, w), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+        kdim = BAND
+    else:
+        img, img_spec = jnp.swapaxes(img2d, 1, 2), imgt_spec
+        kdim = h
     return pl.pallas_call(
         kernel,
         out_shape=shp if n_out == 1 else (shp,) * n_out,
         grid=(b, nblk),
-        in_specs=[imgt_spec, vec_spec, vec_spec],
+        in_specs=[img_spec, vec_spec, vec_spec],
         out_specs=vec_spec if n_out == 1 else (vec_spec,) * n_out,
         cost_estimate=pl.CostEstimate(
-            flops=8 * b * p_total * h * w,
+            flops=8 * b * p_total * kdim * w,
             bytes_accessed=4 * b * (h * w + (3 + n_out) * p_total),
             transcendentals=0,
         ),
         interpret=_INTERPRET,
-    )(imgt, _as_blocks(px, b, p_total), _as_blocks(py, b, p_total))
+    )(img, _as_blocks(px, b, p_total), _as_blocks(py, b, p_total))
+
+
+def _band_ok(h, w, p_total) -> bool:
+    """Static legality of the banded window for this geometry."""
+    import os
+
+    return (
+        h > BAND
+        and h % 8 == 0
+        and (h - BAND) % 8 == 0
+        and PBLK % w == 0
+        and not os.environ.get("TPUREG_NO_BAND_WARP")
+    )
+
+
+def _band_guard(py, h, w):
+    """Traced scalar: every block's row-tap SPREAD fits the window.
+
+    The kernel picks each block's window start from its own min row tap
+    (``_band_start``), so absolute displacement is irrelevant — only the
+    within-block spread matters. Margin: the 8-alignment can lower the
+    start by ≤7 and every position also taps row y0+1, so the spread must
+    leave 9 rows of slack (see the case analysis in ``_band_start``'s
+    callers: s ≥ min−7 ⇒ s+BAND−1 ≥ min+BAND−8 ≥ max+1)."""
+    b, p_total = py.shape
+    rpb = PBLK // w
+    nblk = p_total // PBLK
+    y0 = jnp.floor(py).astype(jnp.int32)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, p_total), 1) // PBLK
+    zero_w = (y0 < -1) | (y0 > h - 1)
+    eff = jnp.where(zero_w, j * rpb, y0).reshape(b, nblk, PBLK)
+    spread = jnp.max(eff, axis=2) - jnp.min(eff, axis=2)
+    return jnp.all(spread <= BAND - 9)
 
 
 def _fwd(img2d, px, py):
-    """img2d [B,H,W]; px/py [B,P] absolute positions → [B,P] fp32."""
+    """img2d [B,H,W]; px/py [B,P] absolute positions → [B,P] fp32.
+
+    When the geometry allows it and a cheap traced guard shows every row
+    tap fits its block's BAND-row window (true for registration flows —
+    displacements ≪ image height), the banded kernel runs with H/BAND×
+    fewer row-select MACs; otherwise the full-H kernel runs. Both are
+    exact: out-of-window rows only back zero-weight taps.
+    """
     b, h, w = img2d.shape
     p_total = px.shape[1]
-    out = _grid_call(
-        functools.partial(_fwd_kernel, h=h, w=w, pblk=PBLK,
-                          lo=_needs_lo(img2d)),
-        img2d, px, py, 1,
-    )
+    lo = _needs_lo(img2d)
+
+    def full(img2d, px, py):
+        return _grid_call(
+            functools.partial(_fwd_kernel, h=h, w=w, pblk=PBLK, lo=lo),
+            img2d, px, py, 1,
+        )
+
+    if not _band_ok(h, w, p_total):
+        return full(img2d, px, py).reshape(b, p_total)
+
+    def banded(img2d, px, py):
+        return _grid_call(
+            functools.partial(_fwd_kernel, h=h, w=w, pblk=PBLK, lo=lo,
+                              band=True),
+            img2d, px, py, 1, band=True,
+        )
+
+    out = jax.lax.cond(_band_guard(py, h, w), banded, full, img2d, px, py)
     return out.reshape(b, p_total)
 
 
@@ -294,11 +417,26 @@ def warp2d_pallas(img2d, px, py):
 def _fwd_with_taps(img2d, px, py):
     b, h, w = img2d.shape
     p_total = px.shape[1]
-    outs = _grid_call(
-        functools.partial(_fwd_taps_kernel, h=h, w=w, pblk=PBLK,
-                          lo=_needs_lo(img2d)),
-        img2d, px, py, 3,
-    )
+    lo = _needs_lo(img2d)
+
+    def full(img2d, px, py):
+        return _grid_call(
+            functools.partial(_fwd_taps_kernel, h=h, w=w, pblk=PBLK, lo=lo),
+            img2d, px, py, 3,
+        )
+
+    if not _band_ok(h, w, p_total):
+        outs = full(img2d, px, py)
+    else:
+        def banded(img2d, px, py):
+            return _grid_call(
+                functools.partial(_fwd_taps_kernel, h=h, w=w, pblk=PBLK,
+                                  lo=lo, band=True),
+                img2d, px, py, 3, band=True,
+            )
+
+        outs = jax.lax.cond(_band_guard(py, h, w), banded, full,
+                            img2d, px, py)
     return tuple(o.reshape(b, p_total) for o in outs)
 
 
