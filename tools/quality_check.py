@@ -35,9 +35,11 @@ enable_compilation_cache()
 
 from tpureg.classical.syn import apply_flow, register_syn
 from tpureg.metrics.seg import dice_average
-from tpureg.ops.elastic import rand_elastic_2d
+from tpureg.ops.elastic import elastic_displacement_2d
+from tpureg.ops.warp import base_grid, sample2d, sample2d_nearest
 from tpureg.reg import OpticalFlowReg
-from tpureg.train import create_train_state, make_eval_step, make_train_step
+from tpureg.train import (create_train_state, make_eval_step,
+                          make_flow_supervised_step, make_train_step)
 
 SIZE = 256
 EVAL_B = 8
@@ -59,13 +61,18 @@ def phantom(key, batch, size):
     return img, seg.astype(jnp.float32)
 
 
-def make_pairs(key, batch, size, magnitude=(0.5, 1.0)):
+def make_pairs(key, batch, size, magnitude=(0.5, 1.0), with_disp=False):
     k1, k2 = jax.random.split(key)
     fixed, fixed_seg = phantom(k1, batch, size)
-    moving, moving_seg = rand_elastic_2d(k2, fixed, fixed_seg,
-                                         magnitude_range=magnitude)
+    disp = elastic_displacement_2d(k2, batch, (size, size),
+                                   magnitude_range=magnitude)
+    pos = base_grid(size, size)[None] + disp
+    moving = sample2d(fixed, pos[..., 0], pos[..., 1])
+    moving_seg = sample2d_nearest(fixed_seg, pos[..., 0], pos[..., 1])
     imgs = jnp.concatenate([fixed, moving], axis=-1)
     segs = jnp.concatenate([fixed_seg, moving_seg], axis=-1)
+    if with_disp:
+        return imgs, segs, disp
     return imgs, segs
 
 
@@ -78,13 +85,33 @@ def dice_batch(warped_seg, fixed_seg):
     return float(np.mean(scores))
 
 
-def main(train_steps: int = 400, model_name: str = "flownets"):
+def main(train_steps: int = 400, model_name: str = "flownets",
+         bootstrap_steps: int = 0):
     key = jax.random.key(0)
     model = OpticalFlowReg(conv_predictor=model_name)
     sample, _ = make_pairs(key, TRAIN_B, SIZE, magnitude=(0.0, 0.5))
     state = create_train_state(model, key, sample, learning_rate=1e-4)
     train_step = make_train_step(donate=False, compute_dtype=jnp.bfloat16)
     eval_step = make_eval_step(compute_dtype=jnp.bfloat16)
+
+    if bootstrap_steps:
+        # the reference's pretrained-FlyingChairs mechanism for PWC
+        # (models.py:243-248): supervised synthetic-flow pretraining before
+        # self-supervised finetuning. Chairs weights have no egress path
+        # here; the elastic synthesizer's own ground-truth fields supply the
+        # identical supervision signal (see make_flow_supervised_step).
+        boot_step = make_flow_supervised_step(compute_dtype=jnp.bfloat16,
+                                              donate=False)
+        print(f"bootstrap ({model_name}): {bootstrap_steps} supervised "
+              f"synthetic-flow steps", flush=True)
+        t0 = time.time()
+        for i in range(bootstrap_steps):
+            key, k = jax.random.split(key)
+            imgs, _, disp = make_pairs(k, TRAIN_B, SIZE, magnitude=(0.0, 0.5),
+                                       with_disp=True)
+            state, bm = boot_step(state, imgs, disp)
+        print(f"bootstrapped in {time.time()-t0:.0f}s (final EPE "
+              f"{float(bm['epe']):.4f})", flush=True)
 
     print(f"training {model_name} on phantoms: {train_steps} steps "
           f"(b{TRAIN_B} {SIZE}², bf16)", flush=True)
@@ -130,4 +157,5 @@ def main(train_steps: int = 400, model_name: str = "flownets"):
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 400,
-         sys.argv[2] if len(sys.argv) > 2 else "flownets")
+         sys.argv[2] if len(sys.argv) > 2 else "flownets",
+         int(sys.argv[3]) if len(sys.argv) > 3 else 0)

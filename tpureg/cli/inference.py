@@ -169,6 +169,12 @@ def main(argv=None):
             args.img_dir, args.seg_dir, args.batch_size, seed=args.seed
         )
 
+    if length == 0:
+        raise SystemExit(
+            "no image/seg pairs found (checked "
+            f"{args.fiximg_dir if args.mode == 'real' else args.img_dir!r})"
+        )
+
     writer = MetricWriter(args.logdir, flush_secs=30)
     import jax.numpy as jnp
 

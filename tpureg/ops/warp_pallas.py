@@ -5,25 +5,33 @@ profiled FlowNet2 train step spent 270 ms/step — 56% — in warp-gather
 fusions (5 full-resolution warps × 4 taps). This kernel reformulates the
 warp as MXU work instead:
 
-    out[p] = Σ_w  [ wy0·(img @ R0) + wy1·(img @ R1) ][w, p] · Wc[w, p]
+    out[p] = Σ_r  Wr[r, p] · [ wx0·(img @ C0) + wx1·(img @ C1) ][r, p]
 
-where R0/R1 are one-hot row-selection matrices (built on the VPU from
-integer compares — exact in bf16) and Wc holds the fused horizontal
-bilinear weights + bounds masks. The row-select matmuls run on the MXU; the
+where C0/C1 are one-hot column-selection matrices (built on the VPU from
+integer compares — exact in bf16) and Wr holds the fused vertical bilinear
+weights + bounds masks. The column-select matmuls run on the MXU; the
 whole per-block pipeline (one-hot build → 2 matmuls → weighting → reduce)
 stays in VMEM, so HBM traffic is O(img + flow + out) instead of either the
 O(P·W) row-matrix round-trip a pure-XLA einsum pays or the scalar-loop
 latency of the gather lowering.
 
-Orientation matters (round-2 finding): every per-block tensor is laid out
-**transposed**, (W, P) with the position block P in lanes, so the final
-per-position reductions run along *sublanes* — plain strided adds — instead
-of across lanes, which Mosaic lowers to log-depth lane shuffles. The shuffle
-reductions, not the MXU selects, dominated the original (P, W) kernel:
-measured at b24 256² bf16, fwd 8.1 → 3.3 ms and fwd+taps 13.5 → 3.8 ms from
-the transposition alone (row-banding the selects to a 128-row window changed
-nothing — the kernel was never MXU-bound). The image is fed pre-transposed
-(B, W, H) by the XLA-side wrapper (a one-off ~6 MB relayout per call).
+Orientation matters (round-2 finding): every per-block tensor keeps the
+position block P in *lanes* so the final per-position reductions run along
+*sublanes* — plain strided adds — instead of across lanes, which Mosaic
+lowers to log-depth lane shuffles. The shuffle reductions, not the MXU
+selects, dominated the original (P, W) kernel: measured at b24 256² bf16,
+fwd 8.1 → 3.3 ms and fwd+taps 13.5 → 3.8 ms from the transposition alone.
+
+Round-3 restructure: the kernel selects **columns first** — the image block
+(or its BAND-row window) right-multiplies the two (W, P) one-hot column
+matrices, so every epilogue tensor is (rows, P) with rows = BAND (banded
+path, the production case) instead of the former row-select layout's
+(W, P). Same MXU MACs, but the one-hot builds, bilinear weighting, and
+sublane reduces run on half the elements when BAND < W, and both the
+banded and full variants consume the image in its natural (B, H, W)
+layout, deleting the (B, W, H) pre-transpose relayout (and with it the
+double materialization XLA paid to feed the band/full `lax.cond` branches
+two different layouts).
 
 Layouts also explain the (B, P) position planes: a trailing size-1 channel
 dim would be padded 128× by TPU tiling. The public entry takes C=1 images
@@ -108,44 +116,32 @@ def _split(img, with_lo: bool = True):
     return hi, lo
 
 
-_DN = (((1,), (0,)), ((), ()))
-# contract axis 0 of both operands: (S, W)ᵀ @ (S, P) → (W, P)
-_DN_T = (((0,), (0,)), ((), ()))
+_DN = (((1,), (0,)), ((), ()))  # (R, W) @ (W, P) → (R, P)
 
 
-def _rowsel_t(imgt_hi, imgt_lo, r):
-    """(W, H) split image @ (H, P) bf16 one-hot → (W, P) fp32-exact."""
-    a = jax.lax.dot_general(imgt_hi, r, _DN,
+def _colsel(img_hi, img_lo, c):
+    """(R, W) split image @ (W, P) bf16 one-hot → (R, P) fp32-exact."""
+    a = jax.lax.dot_general(img_hi, c, _DN,
                             preferred_element_type=jnp.float32)
-    if imgt_lo is None:
+    if img_lo is None:
         return a
-    b = jax.lax.dot_general(imgt_lo, r, _DN,
+    b = jax.lax.dot_general(img_lo, c, _DN,
                             preferred_element_type=jnp.float32)
     return a + b
 
 
-def _rowsel_win(win_hi, win_lo, r):
-    """(S, W) split image window ᵀ@ (S, P) bf16 one-hot → (W, P)."""
-    a = jax.lax.dot_general(win_hi, r, _DN_T,
-                            preferred_element_type=jnp.float32)
-    if win_lo is None:
-        return a
-    b = jax.lax.dot_general(win_lo, r, _DN_T,
-                            preferred_element_type=jnp.float32)
-    return a + b
-
-
-def _sel_pair_t(imgt_ref, y0i, h, lo):
-    """Transposed row selections a0/a1: (W, P) samples of rows y0, y0+1.
+def _sel_cols(img, x0i, w, lo):
+    """Column selections b0/b1: (R, P) samples of columns x0, x0+1 across
+    every image row R (the full height, or the BAND-row window).
 
     Out-of-bounds taps clip; their bilinear weights are zero
-    (``_tap_weights`` bounds masks), so the clipped row's value never lands
-    in the output.
+    (``_tap_weights`` bounds masks), so the clipped column's value never
+    lands in the output.
     """
-    imgt_hi, imgt_lo = _split(imgt_ref[0].astype(jnp.float32), lo)
-    a0 = _rowsel_t(imgt_hi, imgt_lo, _onehot_t(y0i, h, jnp.bfloat16))
-    a1 = _rowsel_t(imgt_hi, imgt_lo, _onehot_t(y0i + 1, h, jnp.bfloat16))
-    return a0, a1
+    img_hi, img_lo = _split(img, lo)
+    b0 = _colsel(img_hi, img_lo, _onehot_t(x0i, w, jnp.bfloat16))
+    b1 = _colsel(img_hi, img_lo, _onehot_t(x0i + 1, w, jnp.bfloat16))
+    return b0, b1
 
 
 def _y0_eff(y0i, h, w):
@@ -166,50 +162,44 @@ def _band_start(y0i, h, w):
     return (s // 8) * 8  # sublane-aligned dynamic slice
 
 
-def _sel_pair_win(img_ref, y0i, s, h, w, lo):
-    """Banded row selections: contract over a BAND-row window, not all H.
+def _img_rows(img_ref, y0i, h, w, band):
+    """The kernel's image rows in natural (R, W) layout + the row-tap base.
 
-    The image block is in natural (H, W) orientation; the window slice runs
-    along sublanes (8-aligned start). The one-hot matmul contracts axis 0 of
-    both operands ((BAND, W)ᵀ @ (BAND, P) → (W, P)) so the MXU K dim is the
-    window, giving the same (W, P) layout as the full-H kernel with H/BAND×
-    fewer MACs. Exactness: rows outside the window are only ever addressed
-    by taps whose bilinear weight is zero (the wrapper's guard dispatched
-    here), and the clipped one-hot index then selects an arbitrary in-window
-    row that the zero weight cancels.
+    Banded: a BAND-row window sliced along sublanes at the block's own
+    data-adaptive 8-aligned start (``_band_start``); row taps rebase to the
+    window. Exactness: rows outside the window are only ever addressed by
+    taps whose bilinear weight is zero (the wrapper's guard dispatched
+    here), and the clipped one-hot index then selects an arbitrary
+    in-window row that the zero weight cancels.
     """
-    win = img_ref[0, pl.ds(s, BAND), :].astype(jnp.float32)
-    win_hi, win_lo = _split(win, lo)
-    a0 = _rowsel_win(win_hi, win_lo, _onehot_t(y0i - s, BAND, jnp.bfloat16))
-    a1 = _rowsel_win(win_hi, win_lo,
-                     _onehot_t(y0i + 1 - s, BAND, jnp.bfloat16))
-    return a0, a1
+    if band:
+        s = _band_start(y0i, h, w)
+        return img_ref[0, pl.ds(s, BAND), :].astype(jnp.float32), \
+            BAND, y0i - s
+    return img_ref[0].astype(jnp.float32), h, y0i
 
 
-def _fwd_kernel(imgt_ref, px_ref, py_ref, out_ref, *, h, w, pblk, lo=True,
+def _fwd_kernel(img_ref, px_ref, py_ref, out_ref, *, h, w, pblk, lo=True,
                 band=False):
     px = px_ref[0].reshape(pblk)
     py = py_ref[0].reshape(pblk)
     x0i, y0i, wx0, wx1, wy0, wy1 = _tap_weights(px, py, h, w)
-    if band:
-        s = _band_start(y0i, h, w)
-        a0, a1 = _sel_pair_win(imgt_ref, y0i, s, h, w, lo)
-    else:
-        a0, a1 = _sel_pair_t(imgt_ref, y0i, h, lo)
-    arow = a0 * wy0[None, :] + a1 * wy1[None, :]            # (W, P)
-    c0 = _onehot_t(x0i, w, jnp.float32)
-    c1 = _onehot_t(x0i + 1, w, jnp.float32)
-    wc = c0 * wx0[None, :] + c1 * wx1[None, :]              # (W, P)
-    out_ref[0] = jnp.sum(arow * wc, axis=0).reshape(out_ref.shape[1:])
+    img, rows, yb = _img_rows(img_ref, y0i, h, w, band)
+    b0, b1 = _sel_cols(img, x0i, w, lo)                     # (rows, P)
+    acol = b0 * wx0[None, :] + b1 * wx1[None, :]            # (rows, P)
+    r0 = _onehot_t(yb, rows, jnp.float32)
+    r1 = _onehot_t(yb + 1, rows, jnp.float32)
+    wr = r0 * wy0[None, :] + r1 * wy1[None, :]              # (rows, P)
+    out_ref[0] = jnp.sum(acol * wr, axis=0).reshape(out_ref.shape[1:])
 
 
-def _fwd_taps_kernel(imgt_ref, px_ref, py_ref, out_ref, dpx_ref, dpy_ref,
+def _fwd_taps_kernel(img_ref, px_ref, py_ref, out_ref, dpx_ref, dpy_ref,
                      *, h, w, pblk, lo=True, band=False):
     """Forward + the two analytic position-derivative bases.
 
     The bilinear derivative collapses onto the tensors the forward already
-    builds:  ∂out/∂px = Σ_w arow·(c1·mx1 − c0·mx0)  and
-             ∂out/∂py = Σ_w (my1·a1 − my0·a0)·wc,
+    builds:  ∂out/∂px = Σ_r (b1·mx1 − b0·mx0)·wr  and
+             ∂out/∂py = Σ_r acol·(r1·my1 − r0·my0),
     so d/dposition costs two extra sublane reduces here and the backward is
     a pure elementwise multiply by the output cotangent.
     """
@@ -221,22 +211,19 @@ def _fwd_taps_kernel(imgt_ref, px_ref, py_ref, out_ref, dpx_ref, dpy_ref,
     mx0 = _bounds(x0i, 0, w - 1).astype(jnp.float32)
     mx1 = _bounds(x0i + 1, 0, w - 1).astype(jnp.float32)
 
-    if band:
-        s = _band_start(y0i, h, w)
-        a0, a1 = _sel_pair_win(imgt_ref, y0i, s, h, w, lo)
-    else:
-        a0, a1 = _sel_pair_t(imgt_ref, y0i, h, lo)
-    arow = a0 * wy0[None, :] + a1 * wy1[None, :]            # (W, P)
-    c0 = _onehot_t(x0i, w, jnp.float32)
-    c1 = _onehot_t(x0i + 1, w, jnp.float32)
-    wc = c0 * wx0[None, :] + c1 * wx1[None, :]              # (W, P)
+    img, rows, yb = _img_rows(img_ref, y0i, h, w, band)
+    b0, b1 = _sel_cols(img, x0i, w, lo)                     # (rows, P)
+    acol = b0 * wx0[None, :] + b1 * wx1[None, :]            # (rows, P)
+    r0 = _onehot_t(yb, rows, jnp.float32)
+    r1 = _onehot_t(yb + 1, rows, jnp.float32)
+    wr = r0 * wy0[None, :] + r1 * wy1[None, :]              # (rows, P)
 
     shp = out_ref.shape[1:]
-    out_ref[0] = jnp.sum(arow * wc, axis=0).reshape(shp)
-    dcol = c1 * mx1[None, :] - c0 * mx0[None, :]
-    dpx_ref[0] = jnp.sum(arow * dcol, axis=0).reshape(shp)
-    drow = a1 * my1[None, :] - a0 * my0[None, :]
-    dpy_ref[0] = jnp.sum(drow * wc, axis=0).reshape(shp)
+    out_ref[0] = jnp.sum(acol * wr, axis=0).reshape(shp)
+    dcol = b1 * mx1[None, :] - b0 * mx0[None, :]
+    dpx_ref[0] = jnp.sum(dcol * wr, axis=0).reshape(shp)
+    drow = r1 * my1[None, :] - r0 * my0[None, :]
+    dpy_ref[0] = jnp.sum(acol * drow, axis=0).reshape(shp)
 
 
 def _dimg_kernel(px_ref, py_ref, g_ref, dimg_ref, *, h, w, pblk):
@@ -290,12 +277,9 @@ def supported(img_shape, p_total) -> bool:
     )
 
 
-def _specs(h, w):
-    imgt_spec = pl.BlockSpec((1, w, h), lambda i, j: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((1, PBLK // 128, 128), lambda i, j: (i, j, 0),
-                            memory_space=pltpu.VMEM)
-    return imgt_spec, vec_spec
+def _vec_spec():
+    return pl.BlockSpec((1, PBLK // 128, 128), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
 
 
 def _as_blocks(v, b, p_total):
@@ -312,17 +296,13 @@ def _grid_call(kernel, img2d, px, py, n_out, band=False):
     b, h, w = img2d.shape
     p_total = px.shape[1]
     nblk = p_total // PBLK
-    imgt_spec, vec_spec = _specs(h, w)
+    vec_spec = _vec_spec()
+    # both variants consume the image in natural (B, H, W) layout — the
+    # band/full lax.cond branches share one operand materialization
+    img_spec = pl.BlockSpec((1, h, w), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct((b, p_total // 128, 128), jnp.float32)
-    if band:
-        # natural (B, H, W): the kernel row-window slices sublanes directly,
-        # and the (B, W, H) pre-transpose relayout disappears
-        img, img_spec = img2d, pl.BlockSpec(
-            (1, h, w), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
-        kdim = BAND
-    else:
-        img, img_spec = jnp.swapaxes(img2d, 1, 2), imgt_spec
-        kdim = h
+    kdim = BAND if band else h
     return pl.pallas_call(
         kernel,
         out_shape=shp if n_out == 1 else (shp,) * n_out,
@@ -335,7 +315,7 @@ def _grid_call(kernel, img2d, px, py, n_out, band=False):
             transcendentals=0,
         ),
         interpret=_INTERPRET,
-    )(img, _as_blocks(px, b, p_total), _as_blocks(py, b, p_total))
+    )(img2d, _as_blocks(px, b, p_total), _as_blocks(py, b, p_total))
 
 
 def _band_ok(h, w, p_total) -> bool:
@@ -450,7 +430,7 @@ def _vjp_bwd(res, g):
     b, h, w = img2d.shape
     p_total = px.shape[1]
     nblk = p_total // PBLK
-    vec_spec = _specs(h, w)[1]
+    vec_spec = _vec_spec()
     img_spec = pl.BlockSpec((1, h, w), lambda i, j: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 

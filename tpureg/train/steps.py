@@ -22,6 +22,7 @@ __all__ = [
     "make_eval_step",
     "make_affine_train_step",
     "make_deform3d_train_step",
+    "make_flow_supervised_step",
     "loss_from_outputs",
 ]
 
@@ -165,6 +166,69 @@ def make_train_step(
         return state, metrics
 
     return train_step
+
+
+def make_flow_supervised_step(compute_dtype: Optional[jnp.dtype] = None,
+                              donate: bool = True):
+    """Supervised synthetic-flow pretraining step (multi-scale EPE).
+
+    The reference never trains PWC-Net from scratch: its ``pwc`` path loads
+    FlyingChairs-pretrained weights (synthetic ground-truth flow
+    supervision) before self-supervised finetuning (models.py:243-248).
+    With no egress for those weights, this step IS that mechanism,
+    TPU-native: the elastic synthesizer (ops/elastic.py) already knows the
+    ground-truth displacement of every (fixed, moving) pair, and for a
+    backward-warp synthesis ``moving(x) = fixed(x + d(x))`` the stn-flow the
+    head must predict is ``≈ -d``. The loss is mean endpoint error at every
+    predicted scale against ``-d`` resized to that scale (values scaled by
+    h_scale/H — pixel units shrink with resolution), the standard
+    FlowNet/PWC supervised schedule.
+
+    Step signature: ``step(state, imgs, disp)`` with ``disp`` the [B,H,W,2]
+    pixel-unit displacement used to synthesize ``imgs[..., 1]`` from
+    ``imgs[..., 0]``.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step(state, imgs, disp):
+        def loss_fn(params):
+            if compute_dtype is not None:
+                params = _cast_floats(params, compute_dtype)
+                imgs_c = imgs.astype(compute_dtype)
+            else:
+                imgs_c = imgs
+            outputs, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs_c,
+                None,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            new_stats = _cast_floats(mutated["batch_stats"], jnp.float32)
+            flows = [f.astype(jnp.float32) for f in outputs[0]]
+            h_full = imgs.shape[1]
+            epe = 0.0
+            for f in flows:
+                h, w = f.shape[1], f.shape[2]
+                gt = jax.image.resize(
+                    -disp, (disp.shape[0], h, w, 2), "bilinear"
+                ) * (h / h_full)
+                epe = epe + jnp.mean(
+                    jnp.sqrt(jnp.sum((f - gt) ** 2, axis=-1) + 1e-12)
+                )
+            epe = epe / len(flows)
+            return epe, new_stats
+
+        (epe, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        if compute_dtype is not None:
+            grads = _cast_floats(grads, jnp.float32)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, {"epe": epe}
+
+    return step
 
 
 def make_affine_train_step(loss_kwargs: Optional[dict] = None,
