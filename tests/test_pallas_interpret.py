@@ -42,6 +42,32 @@ def test_corr_forward_interpret(md, s2):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("md,s2", [(2, 1), (4, 2)])
+@pytest.mark.parametrize("c", [8, 160], ids=["1slab", "multislab"])
+def test_corr_forward_banded_interpret(md, s2, c):
+    """Banded-MXU forward (bf16 operands, channel-first out) matches the
+    bf16 reference at bf16 rounding tolerance."""
+    f1, f2 = (x.astype(jnp.bfloat16) for x in _feats(c=c))
+    got = cp._corr_fwd_banded(f1, f2, md, s2, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    want = correlation_reference(f1.astype(jnp.float32),
+                                 f2.astype(jnp.float32), md, s2)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=3e-2, rtol=2e-2)
+
+
+def test_corr_forward_dispatch_banded():
+    """bf16 operands route through the banded forward; f32 keeps VPU."""
+    f1, f2 = _feats()
+    assert cp._fwd_banded_fits_vmem(f1.shape, 2, 1)
+    got16 = cp._corr_fwd_pallas(f1.astype(jnp.bfloat16),
+                                f2.astype(jnp.bfloat16), 2, 1,
+                                interpret=True)
+    want = cp._corr_fwd_pallas(f1, f2, 2, 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(got16, np.float32),
+                               np.asarray(want), atol=3e-2, rtol=2e-2)
+
+
 # ---------------------------------------------------------------------------
 # correlation backward — fused kernel and split df1/df2 kernels
 

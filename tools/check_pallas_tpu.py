@@ -8,6 +8,7 @@ changes; CI-equivalent coverage lives in tests/test_correlation.py semantics
 tests plus this.
 """
 
+import functools
 import os
 import sys
 import time
@@ -55,6 +56,41 @@ def main():
             lambda a: jnp.sum(correlation_reference(a, jnp.asarray(f2), md, s2) ** 2)
         )(jnp.asarray(f1))
         ok &= check(name + " (grad)", g, gref, atol=1e-3)
+
+    # bf16 operands (the mixed-precision train path) route through the
+    # banded-MXU forward — validate at bf16 rounding tolerance against the
+    # f32 reference of the same bf16-valued inputs, at the production
+    # cascade shape (b24 input 256² → corr at 32²)
+    from tpureg.ops.correlation_pallas import (_corr_fwd_banded,
+                                               _fwd_banded_fits_vmem)
+
+    for name, shape, md, s2 in [
+        ("flownetc bf16 24x32x32x256 md20 s2", (24, 32, 32, 256), 20, 2),
+        ("pwc bf16 l2 64x64x32 md4 s1", (2, 64, 64, 32), 4, 1),
+    ]:
+        assert _fwd_banded_fits_vmem(shape, md, s2), name
+        f1 = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+        f2 = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+        got = jax.jit(lambda a, b: correlation_pallas(a, b, md, s2))(f1, f2)
+        want = correlation_reference(f1.astype(jnp.float32),
+                                     f2.astype(jnp.float32), md, s2)
+        ok &= check(name, np.asarray(got, np.float32), want, atol=3e-2)
+
+    # banded bf16 forward micro-benchmark at the production shape
+    f1 = jnp.asarray(rng.standard_normal((24, 32, 32, 256)), jnp.bfloat16)
+    f2 = jnp.asarray(rng.standard_normal((24, 32, 32, 256)), jnp.bfloat16)
+    for fn, label in [
+        (jax.jit(lambda a, b: correlation_pallas(a, b, 20, 2)), "banded"),
+        (jax.jit(functools.partial(_corr_fwd_banded, max_displacement=20,
+                                   stride2=2)), "banded(raw)"),
+    ]:
+        float(jnp.sum(fn(f1, f2).astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = fn(f1, f2)
+        float(jnp.sum(out.astype(jnp.float32)))
+        dt = (time.perf_counter() - t0) / 20
+        print(f"corr bf16 441ch b24 {label:12s}: {dt*1e3:.3f} ms/call")
 
     # micro-benchmark: pallas vs pure-XLA reference
     f1 = jnp.asarray(rng.standard_normal((8, 32, 32, 256)).astype(np.float32))

@@ -123,7 +123,8 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--logdir", default="/tmp/tpureg_trace")
     ap.add_argument("--family", default=None,
-                    help="only list top ops of this family (e.g. layout)")
+                    help="comma-separated families to list top ops for "
+                         "(e.g. layout,pallas)")
     args = ap.parse_args()
 
     hlo, trace = capture(args.batch, args.size, args.steps, args.logdir)
@@ -148,14 +149,15 @@ def main():
     for k, v in by_fam.most_common(12):
         print(f"  {k:26s} {v:7.2f} ms")
     rows.sort(reverse=True)
-    if args.family:
-        rows = [r for r in rows
-                if classify(r[1], r[3])[1] == args.family]
-        print(f"\ntop {args.top} ops in family {args.family!r}:")
-    else:
-        print(f"\ntop {args.top} ops:")
-    for ms, opcode, name, op_name in rows[: args.top]:
-        print(f"  {ms:7.3f} ms {opcode:14s} {name[:26]:26s} {op_name[-70:]}")
+    fams = args.family.split(",") if args.family else [None]
+    for fam in fams:
+        sel = rows if fam is None else [
+            r for r in rows if classify(r[1], r[3])[1] == fam]
+        print(f"\ntop {args.top} ops" + (f" in family {fam!r}:" if fam
+                                         else ":"))
+        for ms, opcode, name, op_name in sel[: args.top]:
+            print(f"  {ms:7.3f} ms {opcode:14s} {name[:26]:26s} "
+                  f"{op_name[-70:]}")
 
 
 if __name__ == "__main__":

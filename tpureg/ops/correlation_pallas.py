@@ -72,7 +72,15 @@ def _corr_kernel(f1_ref, f2p_ref, out_ref, *, k: int, s2: int, h: int, w: int,
 
 
 def _corr_fwd_pallas(f1, f2, max_displacement: int, stride2: int,
-                     interpret: bool = False):
+                     interpret: bool = False, force_vpu: bool = False):
+    # banded-MXU forward for bf16 operands whose block set fits VMEM (the
+    # mixed-precision train path — see _fwd_banded_kernel); f32 operands and
+    # oversized configs keep the unrolled VPU tap sweep below. force_vpu
+    # exists for in-CI numerical coverage of the fallback.
+    if (f1.dtype == jnp.bfloat16 and not force_vpu
+            and _fwd_banded_fits_vmem(f1.shape, max_displacement, stride2)):
+        return _corr_fwd_banded(f1, f2, max_displacement, stride2,
+                                interpret=interpret)
     b, h, w, c = f1.shape
     md, s2 = max_displacement, stride2
     k = displacement_count(md, s2)
@@ -111,6 +119,119 @@ def _corr_fwd_pallas(f1, f2, max_displacement: int, stride2: int,
         interpret=interpret,
     )(f1, f2p)
     return out
+
+
+def _fwd_banded_kernel(s_ref, f1_ref, f2p_ref, out_ref, *, k, s2, h, w,
+                       inv_c):
+    """Banded-MXU forward (bf16 operands): per (B, dy, C-slab) grid step the
+    channel contraction runs on the MXU as one y-batched matmul
+
+        M[y, x, xx] = Σ_c f1[y, x, c] · f2p[y + iy·s2, xx, c]
+
+    and the dy row's K displacement taps are then *extracted* from M's band
+    by a second (tiny) x-batched one-hot matmul against the constant
+    selection tensor S[x, xx, ix] = [xx == x + ix·s2]:
+
+        out[iy·K + ix, y, x] = (1/C) Σ_xx M[y, x, xx] · S[x, xx, ix]
+
+    This replaces the VPU tap sweep (2·H·W·C·K² elementwise MACs with a
+    cross-lane channel reduce per tap — measured ~2.5× its elementwise
+    roofline) with 2·H·W·Wp·C·K MXU FLOPs (~Wp/K ≈ 5× algorithmic
+    overcompute at dense-MXU rates) plus an extraction matmul ~C/K smaller.
+    Output is channel-first (B, K², H, W) — every tap writes a dense (H, W)
+    tile instead of the NHWC layout's single-lane strided store; the public
+    wrapper transposes back to NHWC once.
+
+    Numerics: M is emitted in bf16 (f32 MXU accumulation, one rounding),
+    the one-hot extraction of bf16 values is exact, and the per-slab
+    accumulation into the bf16 out block rounds once per C-slab — the same
+    rounding structure as the VPU kernel's per-tap ``out += part.astype``.
+    bf16-only by design: f32 operands keep the VPU kernel (DEFAULT MXU
+    precision would truncate them to bf16).
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    iy = pl.program_id(1)
+    f1v = f1_ref[0]                                        # (h, w, cblk) bf16
+    f2rows = f2p_ref[0, pl.ds(iy * s2, h), :, :]           # (h, wp, cblk)
+    m = jax.lax.dot_general(
+        f1v, f2rows, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)  # Mosaic requires a 32-bit matmul accumulator;
+    # the bf16 round-trip is the once-per-slab rounding documented above
+    ext = jax.lax.dot_general(
+        m, s_ref[...], (((2,), (1,)), ((1,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                      # (w, h, k)
+    res = jnp.transpose(ext, (2, 1, 0)) * inv_c            # (k, h, w)
+    out_ref[0] = out_ref[0] + res.astype(out_ref.dtype)
+
+
+def _fwd_banded_fits_vmem(shape, max_displacement: int, stride2: int) -> bool:
+    """Block set + in-kernel temporaries (bf16 M, f32 ext, the transpose) of
+    the banded forward against the 16 MB VMEM budget, with lane padding
+    (wp and k pad to 128 in their lane positions) counted explicitly."""
+    _, h, w, c = shape
+    k = displacement_count(max_displacement, stride2)
+    cblk = 128 if c > 128 else c
+    wp = w + 2 * max_displacement
+    lane = lambda n: -(-n // 128) * 128
+    blocks = 2 * 2 * (h * w * cblk + (h + 2 * max_displacement) * wp * cblk) \
+        + 2 * w * wp * k + 2 * 2 * k * h * w          # f1/f2p, S, out(×2)
+    temps = 6 * h * w * lane(wp) + 4 * w * h * lane(k) + 4 * k * h * lane(w)
+    return blocks + temps < 13 * 2**20
+
+
+def _corr_fwd_banded(f1, f2, max_displacement: int, stride2: int,
+                     interpret: bool = False):
+    """Channel-first banded-MXU forward dispatch (bf16 operands only)."""
+    b, h, w, c = f1.shape
+    md, s2 = max_displacement, stride2
+    k = displacement_count(md, s2)
+
+    cblk = 128 if c > 128 else c
+    c_pad = -(-c // cblk) * cblk
+    if c_pad != c:
+        f1 = jnp.pad(f1, ((0, 0),) * 3 + ((0, c_pad - c),))
+        f2 = jnp.pad(f2, ((0, 0),) * 3 + ((0, c_pad - c),))
+    f2p = jnp.pad(f2, ((0, 0), (md, md), (md, md), (0, 0)))
+    hp, wp = h + 2 * md, w + 2 * md
+    n_cblk = c_pad // cblk
+
+    xs = jnp.arange(w)[:, None, None]
+    xxs = jnp.arange(wp)[None, :, None]
+    ixs = jnp.arange(k)[None, None, :]
+    sel = (xxs == xs + ixs * s2).astype(jnp.bfloat16)      # (w, wp, k)
+
+    slab = lambda hh, ww: pl.BlockSpec(
+        (1, hh, ww, cblk), lambda i, l, j: (i, 0, 0, j),
+        memory_space=pltpu.VMEM,
+    )
+    out_cf = pl.pallas_call(
+        functools.partial(_fwd_banded_kernel, k=k, s2=s2, h=h, w=w,
+                          inv_c=1.0 / c),
+        out_shape=jax.ShapeDtypeStruct((b, k * k, h, w), f1.dtype),
+        grid=(b, k, n_cblk),
+        in_specs=[
+            pl.BlockSpec((w, wp, k), lambda i, l, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            slab(h, w), slab(hp, wp),
+        ],
+        out_specs=pl.BlockSpec((1, k, h, w), lambda i, l, j: (i, l, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * wp * c_pad * k,
+            bytes_accessed=2 * b * (h * w * c_pad + hp * wp * c_pad
+                                    + k * k * h * w),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(sel, f1, f2p)
+    return jnp.transpose(out_cf, (0, 2, 3, 1))             # NHWC (b,h,w,k²)
 
 
 def _df1_kernel(g_ref, f2p_ref, df1_ref, *, k, s2, h, w, inv_c):

@@ -255,8 +255,13 @@ def _dimg_kernel(px_ref, py_ref, g_ref, dimg_ref, *, h, w, pblk):
     dimg_ref[0] = dimg_ref[0] + d0 + d1
 
 
+import os as _os
+
 PBLK = 1024  # 8 lane tiles of positions per block
-BAND = 128   # banded row window: one MXU K pass instead of H/128
+# banded row window: BAND MXU K rows instead of H. Env-overridable for
+# hardware A/B sweeps (tools/check_warp_tpu.py) — exactness is guard-checked
+# per call either way, so any multiple of 8 is safe.
+BAND = int(_os.environ.get("TPUREG_WARP_BAND", "128"))
 
 # Interpret-mode switch (tests monkeypatch this True): runs every pallas_call
 # in this module under the pure-JAX emulator so the kernels' numerics are
