@@ -117,7 +117,7 @@ def _naive_port(enabled: bool):
 
 
 def _train_run(predictor, batches, key, bf16=True, naive=False, iters=30,
-               want_flops=False):
+               want_flops=False, accum_steps=1):
     import jax.numpy as jnp
 
     from tpureg.reg import OpticalFlowReg
@@ -129,6 +129,7 @@ def _train_run(predictor, batches, key, bf16=True, naive=False, iters=30,
         step = make_train_step(
             donate=False,
             compute_dtype=jnp.bfloat16 if bf16 else None,
+            accum_steps=accum_steps,
         )
         flops = _flops_of(step, state, batches[0]) if want_flops else None
         dt, state = _measure(step, state, batches, iters=iters)
@@ -167,9 +168,19 @@ def main():
                                want_flops=True)
     pairs_per_sec = batch / dt
 
-    # --- vs_baseline: honestly-naive port (fp32, XLA correlation, gather
-    # warp, packed=False plain NHWC). Its correlation backward OOMs at b24,
-    # so both sides of the ratio run at batch 8.
+    # --- vs_baseline AT THE HEADLINE CONFIG (batch 24): the honestly-naive
+    # port (fp32, XLA correlation, gather warp, packed=False plain NHWC)
+    # cannot fit its correlation backward in 16 GB HBM at b24 monolithically,
+    # so it runs b24 as 3×b8 gradient accumulation (lax.scan microbatches) —
+    # the naive port's best feasible execution of the headline batch on this
+    # chip. The b8 monolithic-vs-monolithic ratio is kept as a secondary
+    # apples-to-apples reading (``vs_baseline_b8``).
+    dt_naive_b24, _ = _train_run(
+        "flownet2-nhwc", batches, key, bf16=False, naive=True, iters=10,
+        accum_steps=3,
+    )
+    vs_baseline = pairs_per_sec / (batch / dt_naive_b24)
+
     rbatch = 8
     rbatches = [b_[:rbatch] for b_ in batches]
     dt_main_b8, _ = _train_run("flownet2", rbatches, key, bf16=True, iters=20)
@@ -177,16 +188,16 @@ def main():
         "flownet2-nhwc", rbatches, key, bf16=False, naive=True, iters=20,
         want_flops=True,
     )
-    vs_baseline = (rbatch / dt_main_b8) / (rbatch / dt_naive_b8)
+    vs_baseline_b8 = (rbatch / dt_main_b8) / (rbatch / dt_naive_b8)
 
     # Algorithmic FLOPs: the naive program computes the same registration
     # step without stand-in arithmetic (gather warp ≈ algorithmic taps;
-    # reference correlation). Scale its b8 FLOP count to b24.
+    # reference correlation). Counted on the monolithic b8 program (XLA's
+    # cost model visits a lax.scan body once, so the accumulated b24 program
+    # would undercount) and scaled to b24.
+    flops_algo = flops_algo * batch / rbatch if flops_algo else None
     mfu_raw = (flops_raw / dt / V5E_BF16_PEAK) if flops_raw else None
-    mfu_algo = (
-        (flops_algo * batch / rbatch) / dt / V5E_BF16_PEAK
-        if flops_algo else None
-    )
+    mfu_algo = (flops_algo / dt / V5E_BF16_PEAK) if flops_algo else None
 
     # --- per-family train + inference throughput (north-star metric set)
     extra = {}
@@ -203,18 +214,19 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(vs_baseline, 3),
         "step_ms": round(1e3 * dt, 2),
-        "baseline_batch": rbatch,
+        "vs_baseline_b8": round(vs_baseline_b8, 3),
         "baseline_note": (
             "naive = fp32 plain-NHWC (packed=False) + pure-XLA correlation "
-            "and gather warp; its corr backward OOMs 16GB HBM at b24, so "
-            "the ratio compares both variants at b8"
+            "and gather warp, at the headline batch 24 via 3x8 gradient "
+            "accumulation (its monolithic corr backward OOMs 16GB HBM at "
+            "b24); vs_baseline_b8 = both variants monolithic at b8"
         ),
     }
     if flops_raw:
         out["flops_per_step_raw"] = round(flops_raw)
         out["mfu_raw_vs_v5e_bf16_peak"] = round(mfu_raw, 4)
     if flops_algo:
-        out["flops_per_step_algorithmic"] = round(flops_algo * batch / rbatch)
+        out["flops_per_step_algorithmic"] = round(flops_algo)
         out["mfu_algorithmic"] = round(mfu_algo, 4)
     out.update(extra)
     print(json.dumps(out))

@@ -68,6 +68,38 @@ def test_corr_forward_dispatch_banded():
                                np.asarray(want), atol=3e-2, rtol=2e-2)
 
 
+def test_force_vpu_bf16():
+    """bf16 operands through the VPU tap-sweep kernel (the over-VMEM /
+    kill-switch fallback of the banded forward) stay numerically sane."""
+    f1, f2 = (x.astype(jnp.bfloat16) for x in _feats())
+    got = cp._corr_fwd_pallas(f1, f2, 2, 1, interpret=True, force_vpu=True)
+    assert got.dtype == jnp.bfloat16
+    want = correlation_reference(f1.astype(jnp.float32),
+                                 f2.astype(jnp.float32), 2, 1)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=3e-2, rtol=2e-2)
+
+
+def test_corr_forward_dispatch_mixed_dtype_falls_back_to_vpu(monkeypatch):
+    """Mixed operands (f1 bf16, f2 f32) must NOT enter the bf16-only banded
+    kernel — they take the VPU path (which upcasts internally)."""
+    f1, f2 = _feats()
+    called = {}
+    orig = cp._corr_fwd_banded
+
+    def spy(*a, **k):
+        called["banded"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(cp, "_corr_fwd_banded", spy)
+    got = cp._corr_fwd_pallas(f1.astype(jnp.bfloat16), f2, 2, 1,
+                              interpret=True)
+    assert "banded" not in called
+    want = correlation_reference(f1, f2, 2, 1)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=3e-2, rtol=2e-2)
+
+
 # ---------------------------------------------------------------------------
 # correlation backward — fused kernel and split df1/df2 kernels
 

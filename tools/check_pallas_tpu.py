@@ -1,6 +1,10 @@
 """Validate Pallas kernels against jnp references on the real TPU chip.
 
 Run with the ambient JAX_PLATFORMS (axon/tpu):  python tools/check_pallas_tpu.py
+``--compile-only`` skips the numerics and instead AOT-compiles every
+production kernel configuration (all dispatch branches × dtypes × cascade
+shapes) via tools/compile_check_tpu.py — the fast hardware gate that catches
+Mosaic lowering rejections interpret-mode CPU tests cannot see.
 
 The CPU test suite cannot exercise compiled Pallas (interpret mode is too
 slow), so this script is the hardware golden check — run it whenever a kernel
@@ -19,6 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpureg.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
 from tpureg.ops.correlation import correlation_reference
 from tpureg.ops.correlation_pallas import correlation_pallas
 
@@ -32,6 +40,12 @@ def check(name, got, want, atol=1e-4):
 
 
 def main():
+    if "--compile-only" in sys.argv:
+        import compile_check_tpu
+
+        compile_check_tpu.main([a for a in sys.argv[1:]
+                                if a != "--compile-only"])
+        return
     print("backend:", jax.default_backend(), jax.devices())
     rng = np.random.default_rng(0)
     ok = True

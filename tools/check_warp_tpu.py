@@ -39,6 +39,12 @@ def check(name, got, want, atol):
 
 
 def main():
+    if "--compile-only" in sys.argv:
+        import compile_check_tpu
+
+        compile_check_tpu.main([a for a in sys.argv[1:]
+                                if a != "--compile-only"])
+        return
     print("backend:", jax.default_backend())
     ok = True
     for (b, h, w, c), mag in [((24, 256, 256, 1), 8.0), ((24, 256, 256, 1), 30.0)]:

@@ -39,6 +39,7 @@ tools/check_pallas_tpu.py (forward and grad, all three reference configs).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -74,10 +75,15 @@ def _corr_kernel(f1_ref, f2p_ref, out_ref, *, k: int, s2: int, h: int, w: int,
 def _corr_fwd_pallas(f1, f2, max_displacement: int, stride2: int,
                      interpret: bool = False, force_vpu: bool = False):
     # banded-MXU forward for bf16 operands whose block set fits VMEM (the
-    # mixed-precision train path — see _fwd_banded_kernel); f32 operands and
-    # oversized configs keep the unrolled VPU tap sweep below. force_vpu
-    # exists for in-CI numerical coverage of the fallback.
-    if (f1.dtype == jnp.bfloat16 and not force_vpu
+    # mixed-precision train path — see _fwd_banded_kernel); f32/mixed
+    # operands and oversized configs keep the unrolled VPU tap sweep below.
+    # force_vpu exists for in-CI numerical coverage of the fallback
+    # (tests/test_pallas_interpret.py::test_force_vpu_bf16). The
+    # TPUREG_BANDED_FWD=0 kill-switch reverts to the VPU forward everywhere
+    # (hardware-validation gate: tools/check_pallas_tpu.py --compile-only).
+    if (f1.dtype == jnp.bfloat16 and f2.dtype == jnp.bfloat16
+            and not force_vpu
+            and os.environ.get("TPUREG_BANDED_FWD", "1") != "0"
             and _fwd_banded_fits_vmem(f1.shape, max_displacement, stride2)):
         return _corr_fwd_banded(f1, f2, max_displacement, stride2,
                                 interpret=interpret)
@@ -163,8 +169,12 @@ def _fwd_banded_kernel(s_ref, f1_ref, f2p_ref, out_ref, *, k, s2, h, w,
         preferred_element_type=jnp.float32,
     ).astype(jnp.bfloat16)  # Mosaic requires a 32-bit matmul accumulator;
     # the bf16 round-trip is the once-per-slab rounding documented above
+    # Mosaic requires both operands' batch dims at position 0 ("batch dims
+    # pos must be 0" — the round-3 crash put m's batch w at dim 1), so
+    # transpose m before the x-batched extraction.
+    m_t = jnp.transpose(m, (1, 0, 2))                      # (w, h, wp)
     ext = jax.lax.dot_general(
-        m, s_ref[...], (((2,), (1,)), ((1,), (0,))),
+        m_t, s_ref[...], (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )                                                      # (w, h, k)
     res = jnp.transpose(ext, (2, 1, 0)) * inv_c            # (k, h, w)
@@ -172,17 +182,19 @@ def _fwd_banded_kernel(s_ref, f1_ref, f2p_ref, out_ref, *, k, s2, h, w,
 
 
 def _fwd_banded_fits_vmem(shape, max_displacement: int, stride2: int) -> bool:
-    """Block set + in-kernel temporaries (bf16 M, f32 ext, the transpose) of
-    the banded forward against the 16 MB VMEM budget, with lane padding
-    (wp and k pad to 128 in their lane positions) counted explicitly."""
+    """Block set + in-kernel temporaries (f32+bf16 M, bf16 M-transpose, f32
+    ext, the output transpose) of the banded forward against the 16 MB VMEM
+    budget, with lane padding (wp and k pad to 128 in their lane positions)
+    counted explicitly. Every gridded block — including the constant-index-map
+    S — is counted double-buffered."""
     _, h, w, c = shape
     k = displacement_count(max_displacement, stride2)
     cblk = 128 if c > 128 else c
     wp = w + 2 * max_displacement
     lane = lambda n: -(-n // 128) * 128
     blocks = 2 * 2 * (h * w * cblk + (h + 2 * max_displacement) * wp * cblk) \
-        + 2 * w * wp * k + 2 * 2 * k * h * w          # f1/f2p, S, out(×2)
-    temps = 6 * h * w * lane(wp) + 4 * w * h * lane(k) + 4 * k * h * lane(w)
+        + 2 * 2 * w * wp * k + 2 * 2 * k * h * w      # f1/f2p, S, out — all ×2
+    temps = 8 * h * w * lane(wp) + 4 * w * h * lane(k) + 4 * k * h * lane(w)
     return blocks + temps < 13 * 2**20
 
 

@@ -51,6 +51,7 @@ analytic derivative bases the forward-with-taps kernel already produces.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -255,13 +256,11 @@ def _dimg_kernel(px_ref, py_ref, g_ref, dimg_ref, *, h, w, pblk):
     dimg_ref[0] = dimg_ref[0] + d0 + d1
 
 
-import os as _os
-
 PBLK = 1024  # 8 lane tiles of positions per block
 # banded row window: BAND MXU K rows instead of H. Env-overridable for
 # hardware A/B sweeps (tools/check_warp_tpu.py) — exactness is guard-checked
 # per call either way, so any multiple of 8 is safe.
-BAND = int(_os.environ.get("TPUREG_WARP_BAND", "128"))
+BAND = int(os.environ.get("TPUREG_WARP_BAND", "128"))
 
 # Interpret-mode switch (tests monkeypatch this True): runs every pallas_call
 # in this module under the pure-JAX emulator so the kernels' numerics are
@@ -325,8 +324,6 @@ def _grid_call(kernel, img2d, px, py, n_out, band=False):
 
 def _band_ok(h, w, p_total) -> bool:
     """Static legality of the banded window for this geometry."""
-    import os
-
     return (
         h > BAND
         and h % 8 == 0
