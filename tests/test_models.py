@@ -84,6 +84,29 @@ def test_pwc_seven_flows():
     assert out[2].shape == (1, 16, 16, 2)  # flow2 at 1/4
 
 
+def test_pwc_reg_variant():
+    """pwc-reg: same 7-flow contract; bilinear-init flow upsamplers start
+    as exact 2×-value 2× upsampling (value-consistent for px-at-resolution
+    flows); the decoder consumes warped moving features."""
+    mod = build_predictor("pwc-reg")
+    assert mod.feed_warped and mod.flow_up_init == "bilinear"
+    out, variables = _run(mod, jnp.zeros((1, 64, 64, 2)), train=False)
+    assert len(out) == 7
+    assert out[0].shape == (1, 64, 64, 2)
+    # deconv1 init = gain-2 bilinear tent, identity over channels
+    k = variables["params"]["deconv1"]["kernel"]
+    f = np.asarray([0.25, 0.75, 0.75, 0.25]) * np.sqrt(2.0)
+    np.testing.assert_allclose(np.asarray(k[:, :, 0, 0]),
+                               np.outer(f, f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(k[:, :, 0, 1]), 0.0, atol=0)
+    # pwc-reg has wider dense-conv inputs than reference pwc
+    ref = build_predictor("pwc")
+    _, ref_vars = _run(ref, jnp.zeros((1, 64, 64, 2)), train=False)
+    w_reg = variables["params"]["conv2_0"]["conv"]["kernel"].shape[2]
+    w_ref = ref_vars["params"]["conv2_0"]["conv"]["kernel"].shape[2]
+    assert w_reg == w_ref + 32  # + level-2 warped features
+
+
 def test_raft_iterative():
     out, _ = _run(RAFT(iters=3), jnp.zeros((1, 64, 64, 2)), train=False)
     assert len(out) == 3

@@ -267,3 +267,86 @@ def test_synth_fused_step_matches_unfused():
             np.asarray(a), np.asarray(b), atol=3e-4),
         s1.params, s2.params,
     )
+
+
+def test_num_scales_limits_loss_to_finest():
+    """loss_kwargs['num_scales']=k must equal OFEloss on the finest k flows."""
+    from tpureg.losses import OFEloss
+    from tpureg.train.steps import loss_from_outputs
+
+    state, imgs = _setup()
+    eval_all = make_eval_step()
+    outputs, _ = eval_all(state, imgs)
+    flows, warped, _, _ = outputs
+    assert len(flows) >= 2
+    want = OFEloss([f.astype(jnp.float32) for f in flows[:1]],
+                   [w.astype(jnp.float32) for w in warped[:1]],
+                   imgs[..., 0:1])
+    got = loss_from_outputs(outputs, imgs, {"num_scales": 1})
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # and the default path is unchanged (all scales)
+    full = loss_from_outputs(outputs, imgs, {})
+    all_ = OFEloss([f.astype(jnp.float32) for f in flows],
+                   [w.astype(jnp.float32) for w in warped],
+                   imgs[..., 0:1])
+    np.testing.assert_allclose(np.asarray(full[3]), np.asarray(all_[3]),
+                               rtol=1e-6)
+
+
+def test_stn_inverse_target_registers_exactly():
+    """Warping moving by stn_inverse_target(d) must recover fixed.
+
+    Plain ``-d`` does NOT (the stn convention's (s-1)/s position scale
+    leaves an x/(s-1)-shaped residual, up to 1 px at the border) — this
+    test locks in the exact inverse the supervised bootstrap trains
+    toward."""
+    from tpureg.ops.elastic import elastic_displacement_2d
+    from tpureg.ops.warp import base_grid, sample2d, warp2d
+    from tpureg.train.steps import stn_inverse_target
+
+    k1, k2 = jax.random.split(jax.random.key(3))
+    fixed = jax.random.uniform(k1, (2, SIZE, SIZE, 1))
+    # smooth the image so interpolation error stays small
+    fixed = jax.image.resize(
+        jax.image.resize(fixed, (2, 8, 8, 1), "linear"),
+        (2, SIZE, SIZE, 1), "cubic")
+    disp = elastic_displacement_2d(k2, 2, (SIZE, SIZE),
+                                   magnitude_range=(0.5, 1.0))
+    pos = base_grid(SIZE, SIZE)[None] + disp
+    moving = sample2d(fixed, pos[..., 0], pos[..., 1])
+
+    target = stn_inverse_target(disp, SIZE, SIZE, SIZE)
+    rec = warp2d(moving, target, convention="stn")
+    naive = warp2d(moving, -disp, convention="stn")
+    interior = (slice(None), slice(4, -4), slice(4, -4), slice(None))
+    err_exact = float(jnp.mean(jnp.abs(rec - fixed)[interior]))
+    err_naive = float(jnp.mean(jnp.abs(naive - fixed)[interior]))
+    err_id = float(jnp.mean(jnp.abs(moving - fixed)[interior]))
+    assert err_exact < 0.25 * err_id, (err_exact, err_id)
+    assert err_exact < 0.5 * err_naive, (err_exact, err_naive)
+
+
+def test_flow_supervised_step_pwc20_units():
+    """pwc20 supervision drives internal levels toward -d/20, finest toward
+    -d at-resolution — checked by training a toy pwc head on a constant
+    displacement and inspecting per-level flow means."""
+    from tpureg.train import make_flow_supervised_step
+
+    key = jax.random.key(0)
+    model = OpticalFlowReg(conv_predictor="pwc")
+    imgs = random_pair_batch(key, 2, SIZE)
+    state = create_train_state(model, key, imgs, learning_rate=5e-3)
+    disp = jnp.ones((2, SIZE, SIZE, 2), jnp.float32) * 2.0
+    step = make_flow_supervised_step(donate=False, flow_units="pwc20")
+    for _ in range(60):
+        state, m = step(state, imgs, disp)
+    assert np.isfinite(float(m["epe"]))
+    eval_step = make_eval_step()
+    (flows, _, _, _), _ = eval_step(state, imgs)
+    # finest flow heads toward the stn-inverse of +2 px (mean ≈ -1.5);
+    # internal levels toward -2/20 = -0.1
+    f0 = float(jnp.mean(flows[0]))
+    f2 = float(jnp.mean(flows[2]))
+    assert f0 < -0.5, f0          # moving toward -1.5, not -0.1
+    assert f2 > -0.2, f2          # moving toward -0.1, not -2·(h/H)

@@ -61,6 +61,10 @@ def phantom(key, batch, size):
     return img, seg.astype(jnp.float32)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def make_pairs(key, batch, size, magnitude=(0.5, 1.0), with_disp=False):
     k1, k2 = jax.random.split(key)
     fixed, fixed_seg = phantom(k1, batch, size)
@@ -86,13 +90,21 @@ def dice_batch(warped_seg, fixed_seg):
 
 
 def main(train_steps: int = 400, model_name: str = "flownets",
-         bootstrap_steps: int = 0):
+         bootstrap_steps: int = 0, learning_rate: float = 1e-4):
     key = jax.random.key(0)
     model = OpticalFlowReg(conv_predictor=model_name)
     sample, _ = make_pairs(key, TRAIN_B, SIZE, magnitude=(0.0, 0.5))
-    state = create_train_state(model, key, sample, learning_rate=1e-4)
-    train_step = make_train_step(donate=False, compute_dtype=jnp.bfloat16)
-    eval_step = make_eval_step(compute_dtype=jnp.bfloat16)
+    state = create_train_state(
+        model, key, sample,
+        learning_rate=1e-4 if bootstrap_steps else learning_rate)
+    # PWC: loss on the finest two flows only + native-unit bootstrap —
+    # see make_flow_supervised_step / loss_from_outputs docstrings
+    is_pwc = "pwc" in model_name
+    loss_kwargs = {"num_scales": 2} if is_pwc else None
+    train_step = make_train_step(loss_kwargs=loss_kwargs, donate=False,
+                                 compute_dtype=jnp.bfloat16)
+    eval_step = make_eval_step(loss_kwargs=loss_kwargs,
+                               compute_dtype=jnp.bfloat16)
 
     if bootstrap_steps:
         # the reference's pretrained-FlyingChairs mechanism for PWC
@@ -100,28 +112,49 @@ def main(train_steps: int = 400, model_name: str = "flownets",
         # self-supervised finetuning. Chairs weights have no egress path
         # here; the elastic synthesizer's own ground-truth fields supply the
         # identical supervision signal (see make_flow_supervised_step).
-        boot_step = make_flow_supervised_step(compute_dtype=jnp.bfloat16,
-                                              donate=False)
+        # "resolution" (ramp-consistent stn-inverse at every level) is the
+        # right scheme even for PWC: its finest flows are linear deconvs of
+        # flow2, so a ramp-free pwc20 flow2 target makes the finest targets
+        # unreachable (make_flow_supervised_step docstring).
+        boot_step = make_flow_supervised_step(
+            compute_dtype=jnp.bfloat16, donate=False,
+            flow_units=os.environ.get("TPUREG_BOOT_UNITS", "resolution"))
+        # Chairs-style large-motion pretraining: FlyingChairs flows span
+        # tens of px, which is what teaches PWC's coarse levels to commit
+        # to large displacements; the train-magnitude family (0, 0.5)
+        # alone does not generalize up to the eval family (0.5, 1.0).
         print(f"bootstrap ({model_name}): {bootstrap_steps} supervised "
-              f"synthetic-flow steps", flush=True)
+              f"synthetic-flow steps, magnitude (0, 1.5)", flush=True)
         t0 = time.time()
         for i in range(bootstrap_steps):
             key, k = jax.random.split(key)
-            imgs, _, disp = make_pairs(k, TRAIN_B, SIZE, magnitude=(0.0, 0.5),
+            imgs, _, disp = make_pairs(k, TRAIN_B, SIZE, magnitude=(0.0, 1.5),
                                        with_disp=True)
             state, bm = boot_step(state, imgs, disp)
         print(f"bootstrapped in {time.time()-t0:.0f}s (final EPE "
-              f"{float(bm['epe']):.4f})", flush=True)
+              f"{float(bm['epe']):.4f}, finest {float(bm['epe0']):.4f} px)",
+              flush=True)
+        bimgs, bsegs = make_pairs(jax.random.key(777), EVAL_B, SIZE)
+        (_, _, bsegs_int, _), _ = eval_step(state, bimgs, bsegs)
+        print(f"bootstrap-only deep Dice: "
+              f"{dice_batch(bsegs_int, bsegs[..., 0:1]):.4f}", flush=True)
+        if learning_rate != 1e-4:
+            # fresh optimizer for the self-supervised phase at the
+            # requested LR (bootstrap always runs at the 1e-4 default)
+            import optax
+            tx = optax.adam(learning_rate, eps=1e-4)
+            state = state.replace(tx=tx, opt_state=tx.init(state.params))
 
-    print(f"training {model_name} on phantoms: {train_steps} steps "
-          f"(b{TRAIN_B} {SIZE}², bf16)", flush=True)
-    t0 = time.time()
-    for i in range(train_steps):
-        key, k = jax.random.split(key)
-        imgs, _ = make_pairs(k, TRAIN_B, SIZE, magnitude=(0.0, 0.5))
-        state, m = train_step(state, imgs)
-    print(f"trained in {time.time()-t0:.0f}s (final loss "
-          f"{float(m['loss']):.1f})", flush=True)
+    if train_steps:
+        print(f"training {model_name} on phantoms: {train_steps} steps "
+              f"(b{TRAIN_B} {SIZE}², bf16, lr {learning_rate:g})", flush=True)
+        t0 = time.time()
+        for i in range(train_steps):
+            key, k = jax.random.split(key)
+            imgs, _ = make_pairs(k, TRAIN_B, SIZE, magnitude=(0.0, 0.5))
+            state, m = train_step(state, imgs)
+        print(f"trained in {time.time()-t0:.0f}s (final loss "
+              f"{float(m['loss']):.1f})", flush=True)
 
     imgs, segs = make_pairs(jax.random.key(777), EVAL_B, SIZE)
     fixed_seg = segs[..., 0:1]
@@ -131,9 +164,12 @@ def main(train_steps: int = 400, model_name: str = "flownets",
 
     results = {"identity": dice_batch(moving_seg, fixed_seg)}
 
-    # classical comparator, reference config (inference_ants.py:51-52)
-    for name, iters in (("syn(10,0,0)", (10, 0, 0)),
-                        ("syn(30,20,10)", (30, 20, 10))):
+    # classical comparator, reference config (inference_ants.py:51-52);
+    # TPUREG_QUICK_GATE=1 skips the non-gating multi-res setting
+    settings = [("syn(10,0,0)", (10, 0, 0))]
+    if not os.environ.get("TPUREG_QUICK_GATE"):
+        settings.append(("syn(30,20,10)", (30, 20, 10)))
+    for name, iters in settings:
         t0 = time.time()
         flow, _ = jax.jit(
             lambda f, mv: register_syn(f, mv, reg_iterations=iters)
@@ -158,4 +194,5 @@ def main(train_steps: int = 400, model_name: str = "flownets",
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 400,
          sys.argv[2] if len(sys.argv) > 2 else "flownets",
-         int(sys.argv[3]) if len(sys.argv) > 3 else 0)
+         int(sys.argv[3]) if len(sys.argv) > 3 else 0,
+         float(sys.argv[4]) if len(sys.argv) > 4 else 1e-4)

@@ -65,6 +65,10 @@ def rand_smooth_flow3d(key, batch, shape, magnitude):
     return resize_nd(coarse, shape, "linear") * magnitude
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
 def make_pairs(key, batch, shape, magnitude):
     k1, k2 = jax.random.split(key)
     fixed, fixed_seg = phantom3d(k1, batch, shape)

@@ -66,6 +66,16 @@ _EXPLICIT = {
     # legacy RGB PWC-DC variant (reference PWCNet.py:282-496, dead code
     # there; exposed here by explicit name only — 6-ch input contract)
     "pwc-old": lambda bn: PWCDCNetOld(),
+    # PWC with the 2-ch flow upsamplers initialized as exact bilinear 2×
+    # upsampling (models/pwcnet.py::_bilinear_up_init) — the from-scratch
+    # training variant standing in for the reference's FlyingChairs init
+    # (models.py:243-248); identical graph/parameter tree to "pwc"
+    "pwc-bilinear": lambda bn: PWCDCNet(flow_up_init="bilinear"),
+    # registration-tuned PWC: decoder additionally sees the warped moving
+    # features (sub-pixel-sensitive evidence the reference's cost-volume-
+    # only decoder lacks; models/pwcnet.py::PWCDCNet docstring)
+    "pwc-reg": lambda bn: PWCDCNet(flow_up_init="bilinear",
+                                   feed_warped=True),
 }
 
 

@@ -29,8 +29,51 @@ __all__ = ["PWCDCNet", "PWCDCNetOld"]
 _kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
+def _bilinear_up_init(key, shape, dtype=jnp.float32, gain=2.0):
+    """k=4 s=2 ConvTranspose kernel = 2× bilinear upsampling × ``gain``,
+    identity over channels. Tent [1/4, 3/4, 3/4, 1/4] per axis
+    (flip-symmetric, so the equivalent-convolution layout is identical).
+
+    Default gain 2: a *flow* upsampler doubles values as it doubles
+    resolution, because a fixed physical displacement measures twice as
+    many pixels at the finer scale — so the init is value-consistent for
+    flows carried in px-at-their-own-resolution units (the units the
+    self-supervised photometric loss drives every scale toward)."""
+    k, k2, cin, cout = shape
+    assert k == 4 and k2 == 4, "bilinear init is defined for k=4 s=2"
+    f = jnp.asarray([0.25, 0.75, 0.75, 0.25], dtype)
+    tent = f[:, None] * f[None, :] * gain
+    eye = jnp.eye(cin, cout, dtype=dtype)
+    return tent[:, :, None, None] * eye[None, None, :, :]
+
+
 class PWCDCNet(nn.Module):
+    """
+    ``flow_up_init``: initializer for the 2-channel flow upsamplers
+    (deconv6..2 and the output deconv2/deconv1 chain). "kaiming" is the
+    reference's init (PWCNet.py:138-143); "bilinear" starts them as exact
+    2× bilinear upsampling — from-scratch self-supervised training never
+    has to *discover* that flow0/flow1 should be upsamplings of flow2,
+    which the reference sidesteps by loading FlyingChairs weights
+    (models.py:243-248). Checkpoint import overwrites either init.
+
+    ``feed_warped``: registration-tuned variant ("pwc-reg" in the
+    registry). In reference PWC the moving image reaches the decoder
+    ONLY through the integer-offset cost volume (corr(c1, warped) —
+    PWCNet.py:214-262), which is nearly flat under sub-pixel motion; on
+    the sub-pixel elastic fields of medical registration the supervised
+    bootstrap measurably plateaus at identity-level Dice (BASELINE.md
+    round-4 PWC section). With ``feed_warped=True`` the decoder at each
+    level also sees the warped moving features themselves, whose bilinear
+    interpolation is continuous in the flow — the direct sub-pixel
+    evidence FlowNetS gets from its stacked image pair. Extra channels
+    change the dense-conv input widths, so this variant has its own
+    parameter shapes (no reference checkpoint import).
+    """
+
     md: int = 4
+    flow_up_init: str = "kaiming"
+    feed_warped: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
@@ -80,12 +123,21 @@ class PWCDCNet(nn.Module):
                                name=f"predict_flow{lvl}")(y)
             return y, flow
 
+        flow_up = (_bilinear_up_init if self.flow_up_init == "bilinear"
+                   else _kaiming)
+
         def up2(y, feat, name):
+            init = (flow_up if feat == 2 and name.startswith("deconv")
+                    else _kaiming)
             return TorchConvTranspose(feat, 4, 2, 1, use_bias=True,
-                                      kernel_init=_kaiming, name=name)(y)
+                                      kernel_init=init, name=name)(y)
 
         # --- level 6 (no warp)
-        y, flow6 = dense_decoder(corr(p1[5], p2[5]), 6)
+        lvl6_in = [corr(p1[5], p2[5])]
+        if self.feed_warped:
+            lvl6_in += [p1[5], p2[5]]
+        y, flow6 = dense_decoder(jnp.concatenate(lvl6_in, axis=-1)
+                                 if len(lvl6_in) > 1 else lvl6_in[0], 6)
         up_flow = up2(flow6, 2, "deconv6")
         up_feat = up2(y, 2, "upfeat6")
 
@@ -94,8 +146,10 @@ class PWCDCNet(nn.Module):
         for lvl in (5, 4, 3, 2):
             c1, c2 = p1[lvl - 1], p2[lvl - 1]
             warped = warp2d(c2, up_flow * scales[lvl], convention="pwc")
-            y = jnp.concatenate([corr(c1, warped), c1, up_flow, up_feat],
-                                axis=-1)
+            parts = [corr(c1, warped), c1, up_flow, up_feat]
+            if self.feed_warped:
+                parts.insert(2, warped)
+            y = jnp.concatenate(parts, axis=-1)
             y, flow = dense_decoder(y, lvl)
             flows[lvl] = flow
             if lvl > 2:

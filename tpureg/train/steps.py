@@ -23,12 +23,26 @@ __all__ = [
     "make_affine_train_step",
     "make_deform3d_train_step",
     "make_flow_supervised_step",
+    "stn_inverse_target",
     "loss_from_outputs",
 ]
 
 
 def loss_from_outputs(outputs, imgs, loss_kwargs):
     flows, warped_imgs, _, _ = outputs
+    # ``num_scales``: restrict the multi-scale loss to the finest k flows.
+    # The reference loss consumes every returned scale with ascending
+    # weights (loss.py:71) — the right default for the FlowNet families
+    # (2-5 scales) but counterproductive for PWC-Net's 7 returned flows,
+    # whose coarse levels carry px/20-unit flows by architectural
+    # convention (PWC/models/PWCNet.py:214-258 warp scaling): a photometric
+    # pull toward px-at-resolution units there breaks the pyramid's
+    # internal warps. None = reference semantics.
+    loss_kwargs = dict(loss_kwargs)
+    num_scales = loss_kwargs.pop("num_scales", None)
+    if num_scales is not None:
+        flows = flows[:num_scales]
+        warped_imgs = warped_imgs[:num_scales]
     # the multi-scale loss always evaluates in fp32, whatever the compute dtype
     flows = [f.astype(jnp.float32) for f in flows]
     warped_imgs = [w.astype(jnp.float32) for w in warped_imgs]
@@ -168,8 +182,36 @@ def make_train_step(
     return train_step
 
 
+def stn_inverse_target(disp, h, w, h_full):
+    """The flow the head's 'stn' warp needs to undo ``disp``, at (h, w).
+
+    ``disp`` is the [B, H, W, 2] full-resolution pixel displacement used to
+    synthesize ``moving(x) = fixed(x + d(x))``. The 'stn' warp samples at
+    ``(x + flow)·(s-1)/s`` (ops/warp.py::warp2d), so solving
+    ``(x + flow)·(s-1)/s = x - d`` gives
+    ``flow = -d·s/(s-1) + x/(s-1)`` per axis — the grid term is NOT
+    negligible (→ 1 px at the far border).
+    """
+    d = jax.image.resize(disp, (disp.shape[0], h, w, 2), "bilinear")
+    d = d * (h / h_full)  # pixel units at this scale
+    from ..ops.warp import base_grid
+
+    g = base_grid(h, w)[None]
+    # at a degenerate 1-wide scale the stn position scale (s-1)/s is 0 and
+    # the warp ignores flow entirely — any finite target works; use -d
+    wd, hd = max(w - 1, 1), max(h - 1, 1)
+    return jnp.stack(
+        [
+            -d[..., 0] * (w / wd) + (g[..., 0] / wd if w > 1 else 0.0),
+            -d[..., 1] * (h / hd) + (g[..., 1] / hd if h > 1 else 0.0),
+        ],
+        axis=-1,
+    )
+
+
 def make_flow_supervised_step(compute_dtype: Optional[jnp.dtype] = None,
-                              donate: bool = True):
+                              donate: bool = True,
+                              flow_units: str = "resolution"):
     """Supervised synthetic-flow pretraining step (multi-scale EPE).
 
     The reference never trains PWC-Net from scratch: its ``pwc`` path loads
@@ -177,16 +219,44 @@ def make_flow_supervised_step(compute_dtype: Optional[jnp.dtype] = None,
     supervision) before self-supervised finetuning (models.py:243-248).
     With no egress for those weights, this step IS that mechanism,
     TPU-native: the elastic synthesizer (ops/elastic.py) already knows the
-    ground-truth displacement of every (fixed, moving) pair, and for a
-    backward-warp synthesis ``moving(x) = fixed(x + d(x))`` the stn-flow the
-    head must predict is ``≈ -d``. The loss is mean endpoint error at every
-    predicted scale against ``-d`` resized to that scale (values scaled by
-    h_scale/H — pixel units shrink with resolution), the standard
-    FlowNet/PWC supervised schedule.
+    ground-truth displacement of every (fixed, moving) pair. For a
+    backward-warp synthesis ``moving(x) = fixed(x + d(x))`` the aligning
+    source position is ``src ≈ x - d(x)``; the head's 'stn' warp samples at
+    ``(x + flow)·(s-1)/s`` (the reference's grid*2/size - 1 +
+    align_corners=True quirk, models.py:262-266), so the stn-flow the head
+    must predict is the exact inverse ``flow = -d·s/(s-1) + x/(s-1)`` —
+    NOT plain ``-d``: the ``x/(s-1)`` term reaches a full pixel at the
+    far border, the same order as sub-pixel medical displacements, and
+    training against ``-d`` measurably *hurts* registration (warping a
+    (0.5, 1.0)-magnitude elastic eval pair with ``-d`` scores BELOW
+    identity Dice; the exact target scores 0.98). The loss is mean
+    endpoint error at every predicted scale against that target resized
+    to the scale (displacement values scaled by h_scale/H — pixel units
+    shrink with resolution), the standard FlowNet/PWC supervised schedule.
 
     Step signature: ``step(state, imgs, disp)`` with ``disp`` the [B,H,W,2]
     pixel-unit displacement used to synthesize ``imgs[..., 1]`` from
     ``imgs[..., 0]``.
+
+    ``flow_units``:
+    - ``"resolution"``: target at each scale is the stn-inverse of ``d``
+      in pixels at that scale's resolution (displacement × h_scale/H) —
+      the FlowNet convention.
+    - ``"pwc20"``: scales at ≤¼ resolution are supervised in the PWC
+      architecture's native units, ``-d / 20`` (div_flow=20; identical at
+      every internal level — PWC/models/PWCNet.py:214-258 scale factors
+      0.625..5.0 presume it). The finest two scales (the learned
+      deconv1/2 upsamplers) are supervised with the stn-inverse target at
+      their resolution, which is what the registration head warps with
+      (models.py:277). Caveat measured on hardware: because flow0/flow1
+      are *linear* 2→2 deconvs of flow2, they cannot synthesize the stn
+      grid-ramp term from a ramp-free ``-d/20`` flow2 — the finest
+      targets become unreachable and EPE plateaus. Prefer
+      ``"resolution"`` (ramp-consistent at every level) unless starting
+      from converged PWC weights.
+
+    Metrics: ``epe`` (scale-mean) and ``epe0`` (finest scale, px — the
+    flow the registration head actually warps with).
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
@@ -208,25 +278,34 @@ def make_flow_supervised_step(compute_dtype: Optional[jnp.dtype] = None,
             flows = [f.astype(jnp.float32) for f in outputs[0]]
             h_full = imgs.shape[1]
             epe = 0.0
+            epe0 = None
             for f in flows:
                 h, w = f.shape[1], f.shape[2]
-                gt = jax.image.resize(
-                    -disp, (disp.shape[0], h, w, 2), "bilinear"
-                ) * (h / h_full)
-                epe = epe + jnp.mean(
+                if flow_units == "pwc20" and h * 4 <= h_full:
+                    unit = 20.0  # report in ~px units
+                    gt = jax.image.resize(
+                        -disp, (disp.shape[0], h, w, 2), "bilinear"
+                    ) * (1.0 / 20.0)
+                else:
+                    unit = 1.0
+                    gt = stn_inverse_target(disp, h, w, h_full)
+                term = jnp.mean(
                     jnp.sqrt(jnp.sum((f - gt) ** 2, axis=-1) + 1e-12)
                 )
+                if epe0 is None:
+                    epe0 = term
+                epe = epe + unit * term
             epe = epe / len(flows)
-            return epe, new_stats
+            return epe, (new_stats, epe0)
 
-        (epe, new_stats), grads = jax.value_and_grad(
+        (epe, (new_stats, epe0)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         if compute_dtype is not None:
             grads = _cast_floats(grads, jnp.float32)
         state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=new_stats)
-        return state, {"epe": epe}
+        return state, {"epe": epe, "epe0": epe0}
 
     return step
 
