@@ -113,6 +113,21 @@ def test_raft_iterative():
     assert all(o.shape == (1, 64, 64, 2) for o in out)
 
 
+def test_raft_reg_variant():
+    """raft-reg: same 5-iteration full-res contract; motion encoder widened
+    by the warped-moving + fixed feature streams."""
+    mod = build_predictor("raft-reg")
+    assert mod.feed_warped
+    out, variables = _run(mod, jnp.zeros((1, 64, 64, 2)), train=False)
+    assert len(out) == 5
+    assert all(o.shape == (1, 64, 64, 2) for o in out)
+    ref = build_predictor("raft")
+    _, ref_vars = _run(ref, jnp.zeros((1, 64, 64, 2)), train=False)
+    w_reg = variables["params"]["menc1"]["kernel"].shape[2]
+    w_ref = ref_vars["params"]["menc1"]["kernel"].shape[2]
+    assert w_reg == w_ref + 256  # + warped f2 (128) + f1 (128)
+
+
 def test_affine3d_identity_at_init():
     x = jnp.broadcast_to(
         jnp.arange(16 * 32 * 32, dtype=jnp.float32).reshape(1, 16, 32, 32, 1)

@@ -76,6 +76,10 @@ _EXPLICIT = {
     # only decoder lacks; models/pwcnet.py::PWCDCNet docstring)
     "pwc-reg": lambda bn: PWCDCNet(flow_up_init="bilinear",
                                    feed_warped=True),
+    # registration-tuned RAFT: per-iteration warped moving features next
+    # to the cost-volume lookup, working at 1/4 resolution
+    # (models/raft.py::RAFT.feed_warped / .downsample)
+    "raft-reg": lambda bn: RAFT(feed_warped=True, downsample=4),
 }
 
 

@@ -43,9 +43,13 @@ class _ResBlock(nn.Module):
 
 
 class _Encoder(nn.Module):
-    """1/8-resolution residual encoder (shared shape for feature/context)."""
+    """1/8-resolution residual encoder (shared shape for feature/context).
+
+    ``final_stride=1`` stops at 1/4 resolution instead (the raft-reg
+    variant's finer evidence grid)."""
 
     out_features: int
+    final_stride: int = 2
 
     @nn.compact
     def __call__(self, x):
@@ -55,7 +59,7 @@ class _Encoder(nn.Module):
         y = _ResBlock(32, name="res1a")(y)
         y = _ResBlock(64, stride=2, name="res2a")(y)
         y = _ResBlock(64, name="res2b")(y)
-        y = _ResBlock(96, stride=2, name="res3a")(y)
+        y = _ResBlock(96, stride=self.final_stride, name="res3a")(y)
         y = _ResBlock(96, name="res3b")(y)
         return nn.Conv(self.out_features, (1, 1), name="head")(y)
 
@@ -179,15 +183,31 @@ class RAFT(nn.Module):
     corr_levels: int = 4
     corr_radius: int = 4
     hidden: int = 96
+    # "raft-reg" registry variant: each iteration's motion encoder also
+    # sees the moving features warped by the current flow, next to the
+    # fixed features. The cost-volume lookup alone is nearly flat under
+    # the sub-pixel flows of medical registration (measured: 4000
+    # self-supervised steps leave Dice exactly at identity — BASELINE.md
+    # round-4 PWC/RAFT section); the warped-feature stream is bilinear in
+    # the flow and therefore carries a sub-pixel-sensitive gradient, the
+    # same fix that takes PWC from identity-level to gate-passing.
+    feed_warped: bool = False
+    # working resolution divisor: 8 (RAFT paper) or 4. At 1/8 even the
+    # warped-feature stream plateaus near identity on sub-pixel fields
+    # (0.9359, /tmp/lab_raftreg.log); 1/4 matches the evidence grid that
+    # takes pwc-reg past the SyN gate.
+    downsample: int = 8
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         b, h, w, _ = x.shape
         x1, x2 = x[..., 0:1], x[..., 1:2]
 
-        fnet = _Encoder(128, name="fnet")
+        assert self.downsample in (4, 8)
+        fs = 2 if self.downsample == 8 else 1
+        fnet = _Encoder(128, final_stride=fs, name="fnet")
         f1, f2 = fnet(x1), fnet(x2)
-        ctx = _Encoder(self.hidden + 64, name="cnet")(x1)
+        ctx = _Encoder(self.hidden + 64, final_stride=fs, name="cnet")(x1)
         hidden = nn.tanh(ctx[..., : self.hidden])
         inp = nn.relu(ctx[..., self.hidden :])
 
@@ -214,11 +234,17 @@ class RAFT(nn.Module):
         flows_up = []
         for _ in range(self.iters):
             corr = _lookup(pyramid, coords0 + flow, self.corr_radius)
-            m = motion_enc(jnp.concatenate([corr, flow], axis=-1))
+            m_in = [corr, flow]
+            if self.feed_warped:
+                from ..ops.warp import warp2d
+
+                m_in += [warp2d(f2, flow, convention="pixel"), f1]
+            m = motion_enc(jnp.concatenate(m_in, axis=-1))
             hidden = gru(hidden, jnp.concatenate([m, inp], axis=-1))
             flow = flow + flow_head(hidden)
             flows_up.append(
-                resize2d(flow, (h, w), "bilinear", align_corners=False) * 8.0
+                resize2d(flow, (h, w), "bilinear", align_corners=False)
+                * float(self.downsample)
             )
         # finest-first: last (most refined) iteration leads
         return tuple(reversed(flows_up))
