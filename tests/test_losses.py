@@ -115,6 +115,55 @@ def test_ofe_loss_composition(rng):
     assert float(c) == pytest.approx(want_c, rel=1e-3)
 
 
+def test_ofe_loss_weight_order_descending(rng):
+    """weight_order='descending' reverses the per-scale weights: with 2
+    scales, OFEloss(descending) on (a, b) == OFEloss(ascending) on (b, a)
+    up to the per-scale resize (same-resolution entries here, so exact).
+    Used for RAFT's most-refined-first iteration tuples (losses/ofe.py)."""
+    fixed = rng.random((2, 16, 16, 1)).astype(np.float32)
+    flows = [rng.standard_normal((2, 16, 16, 2)).astype(np.float32)
+             for _ in range(2)]
+    warpeds = [rng.random((2, 16, 16, 1)).astype(np.float32)
+               for _ in range(2)]
+    got = OFEloss(flows, warpeds, fixed, weight_order="descending")
+    want = OFEloss(flows[::-1], warpeds[::-1], fixed)
+    for g, w in zip(got, want):
+        assert float(g) == pytest.approx(float(w), rel=1e-5)
+    with pytest.raises(ValueError):
+        OFEloss(flows, warpeds, fixed, weight_order="nope")
+
+
+def test_default_loss_kwargs_families():
+    from tpureg.train import default_loss_kwargs
+
+    assert default_loss_kwargs("pwc") == {"num_scales": 2}
+    assert default_loss_kwargs("pwc-reg") == {"num_scales": 2}
+    assert default_loss_kwargs("raft") == {"weight_order": "descending"}
+    assert default_loss_kwargs("raft-reg") == {"weight_order": "descending"}
+    assert default_loss_kwargs("flownet2") is None
+    assert default_loss_kwargs("flownets") is None
+
+
+def test_stn_inverse_target_nonsquare_axis_scaling(rng):
+    """x displacement scales by w/W, y by h/H (ADVICE r4 item 3) — at a
+    half-width scale of a non-square input the two ratios differ."""
+    import jax
+
+    from tpureg.train.steps import stn_inverse_target
+
+    disp = jnp.asarray(rng.standard_normal((1, 32, 64, 2)).astype(np.float32))
+    h, w = 16, 16  # h/H = 1/2, w/W = 1/4
+    tgt = stn_inverse_target(disp, h, w, 32)
+    from tpureg.ops.warp import base_grid
+
+    d = np.asarray(jax.image.resize(disp, (1, h, w, 2), "bilinear"))
+    g = np.asarray(base_grid(h, w))[None]
+    want_x = -(d[..., 0] * (w / 64)) * (w / (w - 1)) + g[..., 0] / (w - 1)
+    want_y = -(d[..., 1] * (h / 32)) * (h / (h - 1)) + g[..., 1] / (h - 1)
+    np.testing.assert_allclose(np.asarray(tgt[..., 0]), want_x, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tgt[..., 1]), want_y, atol=1e-5)
+
+
 def test_ofe_loss_grad_finite(rng):
     import jax
     import jax.numpy as jnp

@@ -36,8 +36,9 @@ import optax
 
 from tpureg.classical.syn import apply_flow, register_syn
 from tpureg.reg import OpticalFlowReg
-from tpureg.train import (create_train_state, make_eval_step,
-                          make_flow_supervised_step, make_train_step)
+from tpureg.train import (create_train_state, default_loss_kwargs,
+                          make_eval_step, make_flow_supervised_step,
+                          make_train_step)
 
 sys.path.insert(0, os.path.dirname(__file__))
 from quality_check import EVAL_B, SIZE, TRAIN_B, dice_batch, make_pairs
@@ -63,7 +64,9 @@ def main(model_name, phase_specs, eval_every=1000):
     tx = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4, eps=1e-4)
     state = state.replace(tx=tx, opt_state=tx.init(state.params))
 
-    loss_kwargs = {"num_scales": 2} if "pwc" in model_name else None
+    # per-family loss conventions (pwc num_scales, raft descending iteration
+    # weights — see tpureg.train.default_loss_kwargs)
+    loss_kwargs = default_loss_kwargs(model_name)
     steps = {
         "boot": make_flow_supervised_step(compute_dtype=jnp.bfloat16,
                                           donate=False),
@@ -94,6 +97,23 @@ def main(model_name, phase_specs, eval_every=1000):
         hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
         return state.replace(opt_state=state.opt_state._replace(hyperparams=hp))
 
+    best_ckpt = os.environ.get(
+        "TPUREG_LAB_CKPT", f"/tmp/pwc_lab_best_{model_name}.msgpack")
+
+    def note_best(best, d, tag, state):
+        """Track the best eval Dice AND persist the parameters that scored
+        it, so a PASS where best != final state is reproducible from the
+        saved artifact (ADVICE r4 item 2)."""
+        if d > best[0]:
+            import flax.serialization
+
+            with open(best_ckpt, "wb") as f:
+                f.write(flax.serialization.to_bytes(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats}))
+            return (d, tag)
+        return best
+
     best = (0.0, "init")
     for spec in phase_specs:
         kind, n, lr, mag = parse_phase(spec)
@@ -105,6 +125,7 @@ def main(model_name, phase_specs, eval_every=1000):
         print(f"--- {spec}: {kind} {n} steps @ lr {lr:g}, magnitude {mag}",
               flush=True)
         t0 = time.time()
+        m = {}
         for i in range(n):
             key, k = jax.random.split(key)
             if kind == "boot":
@@ -116,17 +137,18 @@ def main(model_name, phase_specs, eval_every=1000):
                 state, m = step(state, imgs)
             if (i + 1) % eval_every == 0 and i + 1 < n:
                 d = deep_dice(state)
-                best = max(best, (d, f"{spec}@{i+1}"))
+                best = note_best(best, d, f"{spec}@{i+1}", state)
                 mtxt = ", ".join(f"{k2} {float(v):.4f}" for k2, v in m.items())
                 print(f"  [{i+1}/{n}] dice {d:.4f}  ({mtxt})", flush=True)
         d = deep_dice(state)
-        best = max(best, (d, f"{spec}@end"))
+        best = note_best(best, d, f"{spec}@end", state)
         mtxt = ", ".join(f"{k2} {float(v):.4f}" for k2, v in m.items())
         print(f"  [end, {time.time()-t0:.0f}s] dice {d:.4f}  ({mtxt})",
               flush=True)
 
     ok = best[0] >= syn_dice
     print(f"\nbest deep({model_name}) Dice {best[0]:.4f} at {best[1]} "
+          f"(params saved to {best_ckpt}) "
           f"vs syn {syn_dice:.4f} -> {'PASS' if ok else 'FAIL'}", flush=True)
     raise SystemExit(0 if ok else 1)
 

@@ -41,7 +41,8 @@ from tpureg.classical.syn import apply_flow, register_syn
 from tpureg.data import real_pairs_dataset, volume2slices_datasets
 from tpureg.metrics.seg import dice_average
 from tpureg.reg import OpticalFlowReg
-from tpureg.train import create_train_state, make_eval_step, make_train_step
+from tpureg.train import (create_train_state, default_loss_kwargs,
+                          make_eval_step, make_train_step)
 
 FIX = os.environ.get("TPUREG_FIXTURES", "/tmp/oasis_fix")
 EVAL_BATCHES = 4
@@ -65,8 +66,11 @@ def main(train_steps: int = 600, model_name: str = "flownet2"):
     model = OpticalFlowReg(conv_predictor=model_name)
     sample = next(iter(train_ds))["image_c"]
     state = create_train_state(model, key, sample, learning_rate=1e-4)
-    train_step = make_train_step(donate=False, compute_dtype=jnp.bfloat16)
-    eval_step = make_eval_step(compute_dtype=jnp.bfloat16)
+    loss_kwargs = default_loss_kwargs(model_name)
+    train_step = make_train_step(loss_kwargs=loss_kwargs, donate=False,
+                                 compute_dtype=jnp.bfloat16)
+    eval_step = make_eval_step(loss_kwargs=loss_kwargs,
+                               compute_dtype=jnp.bfloat16)
 
     print(f"training {model_name} on fixture corpus ({n_train} "
           f"batches/epoch): {train_steps} steps (b16 256², bf16)", flush=True)
@@ -80,7 +84,7 @@ def main(train_steps: int = 600, model_name: str = "flownet2"):
             if done >= train_steps:
                 break
         epoch += 1
-    print(f"trained in {time.time()-t0:.0f}s over {epoch + 1} epochs "
+    print(f"trained in {time.time()-t0:.0f}s over {epoch} epochs "
           f"(final loss {float(m['loss']):.1f})", flush=True)
 
     eval_ds, n_pairs = real_pairs_dataset(

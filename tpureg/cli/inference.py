@@ -32,7 +32,7 @@ from ..metrics import (
     ssim,
 )
 from ..reg import OpticalFlowReg
-from ..train import create_train_state, make_eval_step
+from ..train import create_train_state, default_loss_kwargs, make_eval_step
 from ..train.checkpoint import restore_best_weights
 from ..utils import AverageMeter, seed_everything
 from ..utils.tb import MetricWriter
@@ -179,7 +179,8 @@ def main(argv=None):
     import jax.numpy as jnp
 
     eval_step = make_eval_step(
-        compute_dtype=jnp.bfloat16 if args.precision == "bf16" else None
+        loss_kwargs=default_loss_kwargs(args.model),
+        compute_dtype=jnp.bfloat16 if args.precision == "bf16" else None,
     )
     print("=================\n EVAL start\n=================", flush=True)
     results = evaluate(state, eval_step, prefetch_to_device(iter(loader)),

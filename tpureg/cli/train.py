@@ -25,7 +25,8 @@ import numpy as np
 
 from ..data import prefetch_to_device, random_pair_batch, volume2slices_datasets
 from ..reg import OpticalFlowReg
-from ..train import create_train_state, make_eval_step, make_train_step
+from ..train import (create_train_state, default_loss_kwargs, make_eval_step,
+                     make_train_step)
 from ..train.checkpoint import (
     restore_training_state,
     save_best_weights,
@@ -234,9 +235,12 @@ def main(argv=None):
     import jax.numpy as jnp
 
     compute_dtype = jnp.bfloat16 if args.precision == "bf16" else None
-    train_step = make_train_step(compute_dtype=compute_dtype,
+    loss_kwargs = default_loss_kwargs(args.model)
+    train_step = make_train_step(loss_kwargs=loss_kwargs,
+                                 compute_dtype=compute_dtype,
                                  accum_steps=args.accum_steps)
-    eval_step = make_eval_step(compute_dtype=compute_dtype)
+    eval_step = make_eval_step(loss_kwargs=loss_kwargs,
+                               compute_dtype=compute_dtype)
 
     shard_fn = None
     if args.fsdp:
@@ -286,6 +290,7 @@ def main(argv=None):
             from ..data import synth_image_batch
 
             train_step = make_train_step(
+                loss_kwargs=loss_kwargs,
                 compute_dtype=compute_dtype,
                 accum_steps=args.accum_steps,
                 synth=partial(synth_image_batch, size=oasis[0].size,

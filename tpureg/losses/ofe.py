@@ -112,15 +112,32 @@ def OFEloss(
     lamb_da: float = 0.5,
     gamma: float = 100.0,
     zeta: float = 100.0,
+    weight_order: str = "ascending",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Multi-scale OFE loss → (photo, corr, smooth, total).
 
     ``flows[i]``: [B, h_i, w_i, 2] finest-first; ``warpeds[i]``: the moving
     image warped at that scale; ``fixed``: [B, H, W, 1].
     Reference loss.py:66-84.
+
+    ``weight_order``: ``"ascending"`` is the reference semantics (weights
+    ``0.05·(1..n)`` over the scale list — with FlowNet's finest-first flow
+    tuples the COARSEST scale carries the largest weight, loss.py:71).
+    ``"descending"`` reverses that: the FIRST (finest / most-refined) entry
+    carries the largest weight. This is the right order for iterative
+    refiners like RAFT, whose "scales" are successive same-resolution
+    iterations returned most-refined-first (models/raft.py) — RAFT's own
+    convention weights the *last* iterate heaviest, which the reference's
+    ascending order inverts when applied to a reversed iteration tuple.
     """
     n = len(flows)
+    if weight_order not in ("ascending", "descending"):
+        raise ValueError(
+            f"weight_order must be 'ascending'|'descending', got {weight_order!r}"
+        )
     weights = 0.05 * jnp.arange(1, n + 1, dtype=jnp.float32)
+    if weight_order == "descending":
+        weights = weights[::-1]
     p_loss = 0.0
     c_loss = 0.0
     s_loss = 0.0

@@ -1,5 +1,6 @@
 from .state import RegTrainState, create_train_state
-from .steps import make_eval_step, make_flow_supervised_step, make_train_step
+from .steps import (default_loss_kwargs, make_eval_step,
+                    make_flow_supervised_step, make_train_step)
 from .schedule import step_decay_schedule
 
 __all__ = [
@@ -8,5 +9,6 @@ __all__ = [
     "make_train_step",
     "make_eval_step",
     "make_flow_supervised_step",
+    "default_loss_kwargs",
     "step_decay_schedule",
 ]

@@ -25,7 +25,32 @@ __all__ = [
     "make_flow_supervised_step",
     "stn_inverse_target",
     "loss_from_outputs",
+    "default_loss_kwargs",
 ]
+
+
+def default_loss_kwargs(model_name: str) -> Optional[dict]:
+    """Per-model-family loss conventions for the multi-scale OFE loss.
+
+    - PWC family: restrict the loss to the finest 2 of the 7 returned flows
+      (``num_scales=2``) — the coarse levels carry px/20-unit flows by
+      architectural convention (reference PWC/models/PWCNet.py:214-258), and
+      a photometric pull toward resolution-px units there breaks the
+      pyramid's internal warps.
+    - RAFT family: weight the iteration tuple descending
+      (``weight_order='descending'``) — RAFT returns its same-resolution
+      iterations most-refined-first (models/raft.py), and RAFT's own
+      convention weights the last (most refined) iterate heaviest; the
+      reference's ascending order (right for FlowNet's coarsest-last scale
+      tuples, loss.py:71) would invert that.
+    - everything else: ``None`` = exact reference semantics.
+    """
+    key = model_name.lower()
+    if "pwc" in key:
+        return {"num_scales": 2}
+    if "raft" in key:
+        return {"weight_order": "descending"}
+    return None
 
 
 def loss_from_outputs(outputs, imgs, loss_kwargs):
@@ -192,8 +217,11 @@ def stn_inverse_target(disp, h, w, h_full):
     ``flow = -d·s/(s-1) + x/(s-1)`` per axis — the grid term is NOT
     negligible (→ 1 px at the far border).
     """
+    w_full = disp.shape[2]
     d = jax.image.resize(disp, (disp.shape[0], h, w, 2), "bilinear")
-    d = d * (h / h_full)  # pixel units at this scale
+    # pixel units at this scale, per axis (w ratio for x, h ratio for y —
+    # they differ for non-square inputs)
+    d = d * jnp.asarray([w / w_full, h / h_full], d.dtype)
     from ..ops.warp import base_grid
 
     g = base_grid(h, w)[None]
