@@ -106,6 +106,25 @@ def test_volume2slices_batches(oasis_dir):
     assert np.abs(x[..., 0] - x[..., 1]).max() > 1e-3
 
 
+def test_volume2slices_magnitude_passthrough(oasis_dir):
+    """--aug_magnitude plumbing: the train dataset synthesizes with the
+    requested elastic range (default = the reference's (0, 0.5),
+    dataset.py:75); a larger range produces visibly larger displacements."""
+    img_dir, seg_dir = oasis_dir
+    train_d, _, _, _, _ = volume2slices_datasets(
+        img_dir, seg_dir, batch_size=4, limit=3)
+    assert train_d.magnitude == (0.0, 0.5)
+    train_w, _, _, _, _ = volume2slices_datasets(
+        img_dir, seg_dir, batch_size=4, limit=3, magnitude=(0.0, 4.0))
+    assert train_w.magnitude == (0.0, 4.0)
+    d = next(iter(train_d))["image_c"]
+    w = next(iter(train_w))["image_c"]
+    # same fixed channel (same gather), different moving synthesis strength
+    np.testing.assert_allclose(np.asarray(d[..., 0]), np.asarray(w[..., 0]))
+    assert float(np.abs(np.asarray(w[..., 1] - w[..., 0])).mean()) > float(
+        np.abs(np.asarray(d[..., 1] - d[..., 0])).mean())
+
+
 def test_volume2slices_process_sharding(oasis_dir):
     """Multi-host input split: disjoint round-robin train shards truncated
     to EQUAL per-process lengths (identical steps-per-epoch on every host —

@@ -21,6 +21,12 @@ per-subject anatomies.
 
 Run:  python tools/make_fixtures.py /tmp/oasis_fix 8     # once
       timeout 1500 python tools/quality_check_real.py [train_steps] [model]
+          [aug_hi]
+
+``aug_hi`` widens the training synthesis's elastic magnitude to
+(0, aug_hi) px — the reference hard-codes (0, 0.5) (dataset.py:75), which
+under-covers inter-subject residual displacements of ~1-2 px; the
+framework exposes the range (cli/train.py --aug_magnitude).
 """
 
 import os
@@ -57,11 +63,12 @@ def dice_batch(warped_seg, fixed_seg):
     ]
 
 
-def main(train_steps: int = 600, model_name: str = "flownet2"):
+def main(train_steps: int = 600, model_name: str = "flownet2",
+         aug_hi: float = 0.5):
     key = jax.random.key(0)
     train_ds, _, _, n_train, _ = volume2slices_datasets(
         os.path.join(FIX, "img"), os.path.join(FIX, "seg"),
-        batch_size=16, with_seg=False,
+        batch_size=16, with_seg=False, magnitude=(0.0, aug_hi),
     )
     model = OpticalFlowReg(conv_predictor=model_name)
     sample = next(iter(train_ds))["image_c"]
@@ -73,7 +80,8 @@ def main(train_steps: int = 600, model_name: str = "flownet2"):
                                compute_dtype=jnp.bfloat16)
 
     print(f"training {model_name} on fixture corpus ({n_train} "
-          f"batches/epoch): {train_steps} steps (b16 256², bf16)", flush=True)
+          f"batches/epoch): {train_steps} steps (b16 256², bf16, "
+          f"aug magnitude (0, {aug_hi}))", flush=True)
     t0 = time.time()
     done, epoch = 0, 0
     while done < train_steps:
@@ -128,4 +136,5 @@ def main(train_steps: int = 600, model_name: str = "flownet2"):
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 600,
-         sys.argv[2] if len(sys.argv) > 2 else "flownet2")
+         sys.argv[2] if len(sys.argv) > 2 else "flownet2",
+         float(sys.argv[3]) if len(sys.argv) > 3 else 0.5)

@@ -165,6 +165,12 @@ def build_argparser():
     p.add_argument("--limit_volumes", default=10, type=int)
     p.add_argument("--precision", default="fp32", choices=("fp32", "bf16"),
                    help="bf16 = mixed precision (fp32 master params/BN)")
+    p.add_argument("--aug_magnitude", default=(0.0, 0.5), nargs=2,
+                   type=float, metavar=("LO", "HI"),
+                   help="elastic control-point offset range (px) for the "
+                        "moving-image synthesis; the reference hard-codes "
+                        "(0, 0.5) (dataset.py:75) — widen to match the "
+                        "task's displacement scale")
     p.add_argument("--accum_steps", default=1, type=int,
                    help="gradient-accumulation microbatches per step "
                         "(batch_size must divide; effective batch beyond "
@@ -278,6 +284,7 @@ def main(argv=None):
             # this loop never reads seg_c (reference train.py:41-44 likewise)
             # — skip the per-batch seg elastic warp + decode entirely
             with_seg=False,
+            magnitude=tuple(args.aug_magnitude),
         )
         # Fuse the augmentation INTO the train step: one device program per
         # batch (gather + elastic synthesis + fwd/bwd/update) instead of an

@@ -369,8 +369,15 @@ def volume2slices_datasets(
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
     with_seg: bool = True,
+    magnitude: Tuple[float, float] = (0.0, 0.5),
 ):
     """(train, val, test, train_len, val_len) — reference dataset.py:30-97.
+
+    ``magnitude``: elastic control-point offset range (px) for the moving-
+    image synthesis. Default is the reference's hard-coded train range
+    (dataset.py:75 Rand2DElastic magnitude (0, 0.5)); exposing it lets
+    training cover the displacement scale of the registration task at hand
+    (e.g. inter-subject residuals larger than half a pixel).
 
     ``with_seg=False`` skips segmentation decode + augmentation entirely —
     the reference's train driver never reads ``seg_c`` (train.py:41-44), so
@@ -403,7 +410,7 @@ def volume2slices_datasets(
         kt = jax.random.fold_in(kt, pi)
     mk = lambda vols, k, shuf: SliceDataset(
         VolumeSliceSource(vols, with_seg=with_seg), batch_size, k,
-        (0.0, 0.5), 256, shuf,
+        magnitude, 256, shuf,
     )
     train = mk(train_v, kt, shuffle_train)
     val = mk(val_v, kv, False)
