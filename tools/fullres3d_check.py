@@ -64,6 +64,20 @@ def run(name, model, make_step, batch, iters=10, lr=1e-4):
     )
     step = make_step(donate=False)
 
+    # compile-time HBM accounting (the axon tunnel exposes no runtime
+    # memory_stats — peak_bytes_in_use reads NaN); XLA's own program
+    # memory analysis is exact for the compiled step
+    try:
+        ma = step.lower(state, vols[0]).compile().memory_analysis()
+        hbm_gb = (ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                  + ma.output_size_in_bytes) / 2**30
+        print(f"  XLA memory: temp {ma.temp_size_in_bytes/2**30:.2f} GB, "
+              f"args+out {(ma.argument_size_in_bytes + ma.output_size_in_bytes)/2**30:.2f} GB "
+              f"= {hbm_gb:.2f} GB total", flush=True)
+    except Exception as e:
+        print(f"  XLA memory analysis unavailable: {type(e).__name__}",
+              flush=True)
+
     t0 = time.time()
     state, m = step(state, vols[0])
     float(m["loss"])  # fence (compile + first step)

@@ -111,8 +111,10 @@ def main(train_steps: int = 300, shape=SHAPE):
         key, k = jax.random.split(key)
         v, _ = make_pairs(k, train_b, shape, 2.0)
         state, m = step(state, v)
+    final_loss = float(m["loss"])  # fence BEFORE reading the clock — the
+    # axon tunnel queues executions asynchronously (BASELINE.md)
     print(f"trained in {time.time()-t0:.0f}s (final loss "
-          f"{float(m['loss']):.2f})", flush=True)
+          f"{final_loss:.2f})", flush=True)
 
     vols, segs = make_pairs(jax.random.key(777), eval_b, shape, 2.0)
     fixed, moving = vols[..., 0:1], vols[..., 1:2]

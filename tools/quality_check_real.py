@@ -92,8 +92,9 @@ def main(train_steps: int = 600, model_name: str = "flownet2",
             if done >= train_steps:
                 break
         epoch += 1
+    final_loss = float(m["loss"])  # fence BEFORE reading the clock
     print(f"trained in {time.time()-t0:.0f}s over {epoch} epochs "
-          f"(final loss {float(m['loss']):.1f})", flush=True)
+          f"(final loss {final_loss:.1f})", flush=True)
 
     eval_ds, n_pairs = real_pairs_dataset(
         os.path.join(FIX, "fiximg"), os.path.join(FIX, "fixseg"),
