@@ -80,7 +80,7 @@ def main(train_steps: int = 600, model_name: str = "flownet2",
                                compute_dtype=jnp.bfloat16)
 
     print(f"training {model_name} on fixture corpus ({n_train} "
-          f"batches/epoch): {train_steps} steps (b16 256², bf16, "
+          f"slices/epoch): {train_steps} steps (b16 256², bf16, "
           f"aug magnitude (0, {aug_hi}))", flush=True)
     t0 = time.time()
     done, epoch = 0, 0
