@@ -66,6 +66,19 @@ def main(model_name, phase_specs, eval_every=1000):
 
     # per-family loss conventions (pwc num_scales, raft descending iteration
     # weights — see tpureg.train.default_loss_kwargs)
+    # resume from a saved best-params msgpack (the artifact note_best writes)
+    resume = os.environ.get("TPUREG_LAB_RESUME")
+    if resume:
+        import flax.serialization
+
+        with open(resume, "rb") as f:
+            blob = flax.serialization.from_bytes(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                f.read())
+        state = state.replace(params=blob["params"],
+                              batch_stats=blob["batch_stats"])
+        print(f"resumed params from {resume}", flush=True)
+
     loss_kwargs = default_loss_kwargs(model_name)
     steps = {
         "boot": make_flow_supervised_step(compute_dtype=jnp.bfloat16,

@@ -37,19 +37,23 @@ def default_loss_kwargs(model_name: str) -> Optional[dict]:
       architectural convention (reference PWC/models/PWCNet.py:214-258), and
       a photometric pull toward resolution-px units there breaks the
       pyramid's internal warps.
-    - RAFT family: weight the iteration tuple descending
-      (``weight_order='descending'``) — RAFT returns its same-resolution
-      iterations most-refined-first (models/raft.py), and RAFT's own
-      convention weights the last (most refined) iterate heaviest; the
-      reference's ascending order (right for FlowNet's coarsest-last scale
-      tuples, loss.py:71) would invert that.
+    - RAFT family: reference ascending weights. RAFT returns its
+      same-resolution iterations most-refined-first (models/raft.py), so
+      ascending weights give the most refined iterate the LIGHTEST weight
+      — the inverse of RAFT's own supervised convention (latest-heaviest,
+      γ^(N-i)). Both orders were A/B'd on hardware under the
+      self-supervised OFE loss (round 5, BASELINE.md): descending
+      (``weight_order='descending'``, available on OFEloss) converges
+      measurably SLOWER on registration Dice (0.9362 vs 0.9414 at 3k
+      steps) — heavier gradient on the early iterates acts as deep
+      supervision that stabilizes the recurrent refinement, while RAFT's
+      latest-heaviest convention comes from supervised EPE training and
+      does not transfer. Reference semantics kept.
     - everything else: ``None`` = exact reference semantics.
     """
     key = model_name.lower()
     if "pwc" in key:
         return {"num_scales": 2}
-    if "raft" in key:
-        return {"weight_order": "descending"}
     return None
 
 
