@@ -124,11 +124,13 @@ def OFEloss(
     ``0.05·(1..n)`` over the scale list — with FlowNet's finest-first flow
     tuples the COARSEST scale carries the largest weight, loss.py:71).
     ``"descending"`` reverses that: the FIRST (finest / most-refined) entry
-    carries the largest weight. This is the right order for iterative
-    refiners like RAFT, whose "scales" are successive same-resolution
-    iterations returned most-refined-first (models/raft.py) — RAFT's own
-    convention weights the *last* iterate heaviest, which the reference's
-    ascending order inverts when applied to a reversed iteration tuple.
+    carries the largest weight — RAFT's supervised latest-heaviest
+    convention applied to its most-refined-first iteration tuple
+    (models/raft.py). NOTE: a round-5 hardware A/B found descending
+    converges measurably SLOWER on registration Dice under this
+    self-supervised loss (BASELINE.md "RAFT iteration-weight order"), so
+    ``train.default_loss_kwargs`` keeps ascending for RAFT; the option
+    remains for supervised-style schedules.
     """
     n = len(flows)
     if weight_order not in ("ascending", "descending"):
