@@ -246,6 +246,8 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         "step_ms": round(1e3 * dt, 2),
         "vs_baseline_b8": round(vs_baseline_b8, 3),
+        "main_b8_ms": round(1e3 * dt_main_b8, 2),
+        "naive_b8_ms": round(1e3 * dt_naive_b8, 2),
         "baseline_b24_candidates_ms": naive_b24_ms,
         "baseline_note": (
             "naive = fp32 plain-NHWC (packed=False) + pure-XLA correlation "

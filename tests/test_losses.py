@@ -168,6 +168,60 @@ def test_stn_inverse_target_nonsquare_axis_scaling(rng):
     np.testing.assert_allclose(np.asarray(tgt[..., 1]), want_y, atol=1e-5)
 
 
+def test_flat_adam_matches_optax_adam(rng):
+    """flat_adam is element-wise EXACTLY optax.adam: same moments, same
+    bias correction, same update — only the execution shape differs (flat
+    fp32 buffers + one ravel/unravel). Multi-step, ragged leaf shapes."""
+    import jax
+    import optax
+
+    from tpureg.train.state import flat_adam
+
+    params = {
+        "a": jnp.asarray(rng.standard_normal((3, 5, 7)).astype(np.float32)),
+        "b": {"w": jnp.asarray(rng.standard_normal((11,)).astype(np.float32)),
+              "k": jnp.asarray(rng.standard_normal((2, 2, 4, 6)).astype(np.float32))},
+    }
+    lr, eps = 1e-3, 1e-4
+    t_flat = flat_adam(lr, eps=eps)
+    t_tree = optax.adam(lr, eps=eps)
+    s_flat, s_tree = t_flat.init(params), t_tree.init(params)
+    p_flat = p_tree = params
+    for i in range(4):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.standard_normal(p.shape).astype(np.float32)), params)
+        u_f, s_flat = t_flat.update(grads, s_flat)
+        u_t, s_tree = t_tree.update(grads, s_tree)
+        p_flat = optax.apply_updates(p_flat, u_f)
+        p_tree = optax.apply_updates(p_tree, u_t)
+    for lf, lt in zip(jax.tree.leaves(p_flat), jax.tree.leaves(p_tree)):
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lt),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_flat_adam_schedule_lr():
+    """Callable learning rates follow optax's pre-increment count exactly."""
+    import optax
+
+    from tpureg.train.state import flat_adam
+
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    sched = lambda count: jnp.where(count < 2, 1e-2, 1e-3)
+    t = flat_adam(sched)
+    t_ref = optax.adam(sched)
+    s, s_ref = t.init(params), t_ref.init(params)
+    g = {"w": jnp.full((4,), 0.5, jnp.float32)}
+    p, p_ref = params, params
+    for _ in range(4):
+        u, s = t.update(g, s)
+        p = optax.apply_updates(p, u)
+        u_r, s_ref = t_ref.update(g, s_ref)
+        p_ref = optax.apply_updates(p_ref, u_r)
+    np.testing.assert_allclose(np.asarray(p["w"]), np.asarray(p_ref["w"]),
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_ofe_loss_grad_finite(rng):
     import jax
     import jax.numpy as jnp

@@ -39,7 +39,8 @@ def main():
     imgs = random_pair_batch(key, args.batch, args.size)
     model = OpticalFlowReg(conv_predictor=args.model)
     state = create_train_state(model, key, imgs)
-    step = make_train_step(donate=False, compute_dtype=jnp.bfloat16)
+    donate = bool(int(os.environ.get("TPUREG_STEP_DONATE", "0")))
+    step = make_train_step(donate=donate, compute_dtype=jnp.bfloat16)
 
     t0 = time.perf_counter()
     for _ in range(3):

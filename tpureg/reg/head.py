@@ -79,7 +79,19 @@ class OpticalFlowReg(nn.Module):
         flows = self.predictor(imgs, train=train)
         moving = imgs[..., 1:2]
 
-        warped_images = tuple(stn_warp(f, moving) for f in flows)
+        # Warp each DISTINCT flow once: FlowNet2 returns the fusion flow
+        # twice (reference flownet2/models.py:191), and XLA does not
+        # reliably CSE duplicate Pallas custom-calls — without this, the
+        # cascade pays a second full-resolution warp fwd+bwd for the
+        # identical tensor. Object identity only (no value comparison), so
+        # the math is unchanged for every model.
+        warp_cache = {}
+        warped_images = []
+        for f in flows:
+            if id(f) not in warp_cache:
+                warp_cache[id(f)] = stn_warp(f, moving)
+            warped_images.append(warp_cache[id(f)])
+        warped_images = tuple(warped_images)
 
         warped_segs_int = None
         if segs is not None:
