@@ -119,8 +119,11 @@ def test_volume2slices_magnitude_passthrough(oasis_dir):
     assert train_w.magnitude == (0.0, 4.0)
     d = next(iter(train_d))["image_c"]
     w = next(iter(train_w))["image_c"]
-    # same fixed channel (same gather), different moving synthesis strength
-    np.testing.assert_allclose(np.asarray(d[..., 0]), np.asarray(w[..., 0]))
+    # same fixed slices up to the JOINT pair min-max intensity scaling
+    # (the moving synthesis strength shifts the pair's min/max — reference
+    # dataset.py scales fixed+moving together), different moving strength
+    np.testing.assert_allclose(np.asarray(d[..., 0]), np.asarray(w[..., 0]),
+                               atol=0.05)
     assert float(np.abs(np.asarray(w[..., 1] - w[..., 0])).mean()) > float(
         np.abs(np.asarray(d[..., 1] - d[..., 0])).mean())
 

@@ -64,7 +64,7 @@ def dice_batch(warped_seg, fixed_seg):
 
 
 def main(train_steps: int = 600, model_name: str = "flownet2",
-         aug_hi: float = 0.5):
+         aug_hi: float = 0.5, decay_steps: int = 0):
     key = jax.random.key(0)
     train_ds, _, _, n_train, _ = volume2slices_datasets(
         os.path.join(FIX, "img"), os.path.join(FIX, "seg"),
@@ -95,6 +95,26 @@ def main(train_steps: int = 600, model_name: str = "flownet2",
     final_loss = float(m["loss"])  # fence BEFORE reading the clock
     print(f"trained in {time.time()-t0:.0f}s over {epoch} epochs "
           f"(final loss {final_loss:.1f})", flush=True)
+
+    if decay_steps:
+        # lr-decay finetune phase (the schedule the pwc-reg phantom gate
+        # needed, BASELINE.md round 4): fresh Adam moments at lr/10
+        import optax
+
+        tx2 = optax.adam(1e-5, eps=1e-4)
+        state = state.replace(tx=tx2, opt_state=tx2.init(state.params))
+        t0, done = time.time(), 0
+        while done < decay_steps:
+            train_ds.set_epoch(epoch)
+            for batch in train_ds:
+                state, m = train_step(state, batch["image_c"])
+                done += 1
+                if done >= decay_steps:
+                    break
+            epoch += 1
+        final_loss = float(m["loss"])
+        print(f"decay phase (+{decay_steps} @1e-5) in {time.time()-t0:.0f}s "
+              f"(final loss {final_loss:.1f})", flush=True)
 
     eval_ds, n_pairs = real_pairs_dataset(
         os.path.join(FIX, "fiximg"), os.path.join(FIX, "fixseg"),
@@ -138,4 +158,5 @@ def main(train_steps: int = 600, model_name: str = "flownet2",
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 600,
          sys.argv[2] if len(sys.argv) > 2 else "flownet2",
-         float(sys.argv[3]) if len(sys.argv) > 3 else 0.5)
+         float(sys.argv[3]) if len(sys.argv) > 3 else 0.5,
+         int(sys.argv[4]) if len(sys.argv) > 4 else 0)
