@@ -353,3 +353,128 @@ def test_warp_banded_guard_rejects_big_flow():
     np.testing.assert_allclose(np.asarray(got),
                                np.asarray(_gather_oracle(img, px, py)),
                                atol=2e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# 3-D trilinear warp kernel (warp3d_pallas)
+
+from tpureg.ops import warp3d_pallas as wp3  # noqa: E402
+from tpureg.ops.warp import sample3d_gather  # noqa: E402
+
+D3, H3, W3 = 24, 64, 64  # smallest supported geometry (D == S)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_warp3d(monkeypatch):
+    monkeypatch.setattr(wp3, "_INTERPRET", True)
+
+
+def _vol_positions(key=0, amp=1.7, wavelen=4.0):
+    """Volume + smooth sinusoidal positions (identity + bounded smooth
+    displacement — the registration-flow regime the banded windows target),
+    with extra out-of-bounds pushes at every face to exercise the partial-
+    and fully-OOB tap handling."""
+    vol = jax.random.normal(jax.random.key(key), (1, D3, H3, W3), jnp.float32)
+    zz, yy, xx = jnp.meshgrid(jnp.arange(D3), jnp.arange(H3),
+                              jnp.arange(W3), indexing="ij")
+
+    def disp(phase):
+        arg = xx / (wavelen * W3) + yy / (wavelen * H3) + zz / (wavelen * D3)
+        return amp * jnp.sin(2 * jnp.pi * arg + phase)
+
+    p = D3 * H3 * W3
+    px = (xx + disp(0.1)).reshape(1, p).astype(jnp.float32)
+    py = (yy + disp(1.2)).reshape(1, p).astype(jnp.float32)
+    pz = (zz + disp(2.3)).reshape(1, p).astype(jnp.float32)
+    xf = xx.reshape(1, p)
+    yf = yy.reshape(1, p)
+    zf = zz.reshape(1, p)
+    px = px + jnp.where(xf < 2, -3.0, 0.0) + jnp.where(xf > W3 - 3, 3.0, 0.0)
+    py = py + jnp.where(yf < 2, -3.0, 0.0)
+    pz = pz + jnp.where(zf < 2, -3.0, 0.0) + jnp.where(zf > D3 - 3, 3.0, 0.0)
+    return vol, px, py, pz
+
+
+def _oracle3(vol, px, py, pz):
+    b = vol.shape[0]
+    shp = vol.shape[1:]
+    out = sample3d_gather(vol[..., None], px.reshape(b, *shp),
+                          py.reshape(b, *shp), pz.reshape(b, *shp))
+    return out.reshape(b, -1)
+
+
+def test_warp3d_forward_and_taps_interpret():
+    """Banded kernel forward + analytic d/dposition bases vs the gather
+    oracle's autodiff, at smooth flows with OOB pushes at every face."""
+    vol, px, py, pz = _vol_positions()
+    assert wp3.supported(vol.shape)
+    assert bool(wp3._guard3(py, pz, D3, H3, W3))
+    got = wp3._grid_call(vol, px, py, pz, with_taps=False)
+    want, vjp = jax.vjp(lambda a, b, c: _oracle3(vol, a, b, c), px, py, pz)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-5)
+    out, bx, by, bz = wp3._grid_call(vol, px, py, pz, with_taps=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=3e-5, rtol=1e-5)
+    g = jax.random.normal(jax.random.key(3), out.shape, jnp.float32)
+    rdx, rdy, rdz = vjp(g)
+    for base, ref in ((bx, rdx), (by, rdy), (bz, rdz)):
+        np.testing.assert_allclose(np.asarray(g * base), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_warp3d_bf16_fast_path_interpret():
+    """bf16 volumes statically skip the lo slab (half the DMA + MXU) and
+    stay exact vs the fp32 gather of the same bf16 values."""
+    vol, px, py, pz = _vol_positions(key=4)
+    vol16 = vol.astype(jnp.bfloat16)
+    got = wp3._grid_call(vol16, px, py, pz, with_taps=False)
+    want = _oracle3(vol16.astype(jnp.float32), px, py, pz)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_warp3d_guard_fallback_interpret():
+    """Flows too spread for the fine windows flip the traced guard and the
+    lax.cond dispatch returns the gather branch (float-ordering-level
+    agreement with the oracle — the branch factors the tap weights
+    differently)."""
+    vol, px, py, pz = _vol_positions(amp=6.0, wavelen=0.5)
+    assert not bool(wp3._guard3(py, pz, D3, H3, W3))
+    got = wp3.warp3d_pallas(vol, px, py, pz)
+    want = _oracle3(vol, px, py, pz)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-6)
+
+
+def test_warp3d_full_vjp_interpret():
+    """End-to-end custom_vjp through warp3d_pallas: position grads via the
+    taps bases, volume grad via the XLA scatter transpose."""
+    vol, px, py, pz = _vol_positions(key=7)
+
+    def loss_pallas(v, a, b, c):
+        return jnp.sum(jnp.sin(wp3.warp3d_pallas(v, a, b, c)))
+
+    def loss_ref(v, a, b, c):
+        return jnp.sum(jnp.sin(_oracle3(v, a, b, c)))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(vol, px, py, pz)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(vol, px, py, pz)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_warp3d_sample3d_dispatch_cpu_is_gather():
+    """On the CPU test backend sample3d stays on the gather path (no
+    interpret-mode pallas in production code), bit-identical to the oracle."""
+    from tpureg.ops.warp import sample3d
+
+    vol, px, py, pz = _vol_positions(key=9)
+    shp = vol.shape[1:]
+    got = sample3d(vol[..., None], px.reshape(1, *shp),
+                   py.reshape(1, *shp), pz.reshape(1, *shp))
+    want = sample3d_gather(vol[..., None], px.reshape(1, *shp),
+                           py.reshape(1, *shp), pz.reshape(1, *shp))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0, rtol=0)

@@ -124,6 +124,26 @@ def kernel_matrix():
             S((b_, h_, w_), F32), S((b_, p), F32), S((b_, p), F32))
     finally:
         del os.environ["TPUREG_NO_BAND_WARP"]
+
+    # -- warp3d: the volumetric path's trilinear kernel at reference scale
+    #   (256,256,176 — dataset.py:100-167) and the scaled 3-D gate size;
+    #   fwd + d/dposition (training hot path), fp32 and bf16-volume branches
+    from tpureg.ops.warp3d_pallas import warp3d_pallas
+
+    for d3, h3, w3 in ((256, 256, 176), (64, 128, 128)):
+        p3 = d3 * h3 * w3
+        for dt, tag in ((F32, "f32"), (BF, "bf16-vol")):
+            ok &= compile_one(
+                f"warp3d {d3}x{h3}x{w3} {tag} fwd",
+                lambda v, px, py, pz: warp3d_pallas(v, px, py, pz),
+                S((1, d3, h3, w3), dt), S((1, p3), F32), S((1, p3), F32),
+                S((1, p3), F32))
+        ok &= compile_one(
+            f"warp3d {d3}x{h3}x{w3} f32 dpos",
+            jax.grad(lambda px, py, pz, v: jnp.sum(
+                warp3d_pallas(v, px, py, pz) ** 2), argnums=(0, 1, 2)),
+            S((1, p3), F32), S((1, p3), F32), S((1, p3), F32),
+            S((1, d3, h3, w3), F32))
     return ok
 
 

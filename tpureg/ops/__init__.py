@@ -1,7 +1,7 @@
 from .channelnorm import channelnorm
 from .correlation import correlation, correlation_reference, displacement_count
 from .resize import resize2d, resize_nd
-from .warp import base_grid, sample2d, warp2d, warp3d
+from .warp import base_grid, sample2d, sample3d, warp2d, warp3d
 
 __all__ = [
     "channelnorm",
@@ -12,6 +12,7 @@ __all__ = [
     "resize_nd",
     "base_grid",
     "sample2d",
+    "sample3d",
     "warp2d",
     "warp3d",
 ]
